@@ -1,0 +1,186 @@
+"""Policy / verifier agent: the multi-turn tool-calling loop and its four
+test-time-scaling modes.
+
+Semantics match the reference's PolicyTool (reference:
+scripts/deep_search.py:1112-3422):
+
+* ``solve``  (:1723)  — tool loop until finish_reason=='stop' with a
+  ``\\boxed{}`` answer (first boxed match is returned), search budget
+  enforced with a "limit reached" tool message, iteration cap =
+  max_search_calls + 5 returning an Error string.
+* ``verify`` (:2116)  — same loop with the verifier system prompt and a
+  ``[Question Start]...[Predicted Answer Start]...`` user message; the boxed
+  value is a confidence score in [0,1].
+* ``solve_budget_forcing`` (:1928) / ``verify_budget_forcing`` (:2323) —
+  sequential test-time scaling: resume a *prior* message history with a
+  user nudge granting extra search budget, re-entering the same loop.
+
+Implementation differences by design: a single async state machine on one
+event loop (the reference spawns a thread plus a fresh event loop per
+search, :2643/:3926), trajectory state is an explicit dataclass, and the
+model client may be the in-process TPU engine.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from ..evaluate.extract import extract_boxed, extract_confidence
+from ..prompts import qa as P
+
+
+@dataclass
+class TrajectoryResult:
+    answer: str
+    messages: list[dict]
+    search_results: list[dict]
+    confidence: float | None = None
+    n_search_calls: int = 0
+    error: str | None = None
+
+
+@dataclass
+class PolicyAgent:
+    client: Any
+    search_tool: Any = None
+    max_search_calls: int = 15
+    gen_opts: dict = field(default_factory=dict)
+    stats: Any = None
+    tools: list = field(default_factory=lambda: [P.DEEP_WEBSEARCH_TOOL])
+    verifier_version: int = 0
+
+    # ------------------------------------------------------------------ modes
+
+    async def solve(self, question: str,
+                    max_search_calls: int | None = None) -> TrajectoryResult:
+        msc = max_search_calls or self.max_search_calls
+        messages = [
+            {"role": "system", "content": P.get_solver_system_prompt(msc)},
+            {"role": "user", "content": question},
+        ]
+        return await self._run_loop(messages, msc, mode="solve")
+
+    async def verify(self, question: str, pred_answer: str,
+                     max_search_calls: int | None = None) -> TrajectoryResult:
+        msc = max_search_calls or self.max_search_calls
+        messages = [
+            {"role": "system",
+             "content": P.get_verifier_system_prompt(msc, self.verifier_version)},
+            {"role": "user", "content": P.get_verify_user_message(question, pred_answer)},
+        ]
+        return await self._run_loop(messages, msc, mode="verify")
+
+    async def solve_budget_forcing(self, messages: list[dict],
+                                   max_search_calls: int | None = None) -> TrajectoryResult:
+        msc = max_search_calls or self.max_search_calls
+        messages = list(messages) + [{
+            "role": "user", "content": P.get_budget_forcing_nudge(msc, "solve"),
+        }]
+        return await self._run_loop(messages, msc, mode="solve")
+
+    async def verify_budget_forcing(self, messages: list[dict],
+                                    max_search_calls: int | None = None) -> TrajectoryResult:
+        msc = max_search_calls or self.max_search_calls
+        messages = list(messages) + [{
+            "role": "user", "content": P.get_budget_forcing_nudge(msc, "verify"),
+        }]
+        return await self._run_loop(messages, msc, mode="verify")
+
+    # ------------------------------------------------------------------- loop
+
+    async def _run_loop(self, messages: list[dict], max_search_calls: int,
+                        mode: str) -> TrajectoryResult:
+        search_results: list[dict] = []
+        search_calls = 0
+        max_iterations = max_search_calls + 5
+        iteration = 0
+
+        while True:
+            iteration += 1
+            if iteration > max_iterations:
+                return self._finish(
+                    "Error: Maximum iterations reached without finding an answer.",
+                    messages, search_results, mode, search_calls,
+                    error="max_iterations",
+                )
+
+            resp = await self.client.chat(messages, tools=self.tools, **self.gen_opts)
+            if self.stats is not None:
+                self.stats.record_main(resp.usage)
+
+            if resp.type == "error":
+                return self._finish(resp.content or f"Error: {resp.error}",
+                                    messages, search_results, mode, search_calls,
+                                    error=resp.error or "client_error")
+
+            messages.append(resp.message)
+
+            if resp.type == "tool":
+                for call in resp.tool_calls:
+                    fn = call.get("function", {})
+                    name = fn.get("name", "")
+                    args = fn.get("arguments", "{}")
+                    if isinstance(args, str):
+                        import json as _json
+                        try:
+                            args = _json.loads(args)
+                        except _json.JSONDecodeError:
+                            args = {}
+                    tool_msg = {"role": "tool", "tool_call_id": call.get("id", "")}
+                    if name != "deep_websearch" or self.search_tool is None:
+                        tool_msg["content"] = (
+                            f"Tool {name} was called with arguments {args}"
+                        )
+                    elif search_calls >= max_search_calls:
+                        tool_msg["content"] = (
+                            f"You have reached the maximum number of search "
+                            f"attempts ({max_search_calls}). Please provide your "
+                            "final answer based on the information collected so far."
+                        )
+                    elif not args.get("search_query"):
+                        tool_msg["content"] = ("Error: Empty search query. Please "
+                                               "provide a valid search query.")
+                    else:
+                        search_calls += 1
+                        result = await self.search_tool.search_with_intent(
+                            args.get("search_query", ""),
+                            args.get("search_intent", ""),
+                        )
+                        search_results.append(result)
+                        tool_msg["content"] = result["extracted_info"]
+                    messages.append(tool_msg)
+                continue
+
+            # normal text turn
+            content = resp.content or ""
+            has_boxed = "\\boxed{" in content
+            if resp.finish_reason == "stop" and has_boxed:
+                return self._finish(self._first_boxed(content), messages,
+                                    search_results, mode, search_calls)
+            if search_calls >= max_search_calls and iteration > max_search_calls + 5:
+                ans = self._first_boxed(content) if has_boxed else content
+                return self._finish(ans, messages, search_results, mode, search_calls)
+
+    @staticmethod
+    def _first_boxed(content: str) -> str:
+        # balanced-brace scan (the reference's non-greedy regex truncates
+        # nested \text{...}; we return the same first-match but intact)
+        return extract_boxed(content, last=False) or content
+
+    def _finish(self, answer: str, messages, search_results, mode, n_calls,
+                error: str | None = None) -> TrajectoryResult:
+        conf = None
+        if mode == "verify":
+            joined = answer if "\\boxed" in answer else f"\\boxed{{{answer}}}"
+            conf = extract_confidence(joined)
+            if conf is None:
+                # answer may already be the bare boxed content
+                try:
+                    conf = max(0.0, min(1.0, float(answer.strip().rstrip("%")) /
+                                        (100.0 if answer.strip().endswith("%") else 1.0)))
+                except (ValueError, AttributeError):
+                    conf = 0.0
+        return TrajectoryResult(
+            answer=answer, messages=messages, search_results=search_results,
+            confidence=conf, n_search_calls=n_calls, error=error,
+        )

@@ -1,0 +1,513 @@
+"""Continuous-batching TPU inference engine.
+
+This replaces the reference's rented HTTP inference (SURVEY.md §0): the
+asyncio fan-out that used to post chat completions to OpenRouter
+(scripts/deep_search.py:1424-1721) instead submits to this engine, which
+interleaves hundreds of multi-turn trajectories on-chip.
+
+Design (TPU-first):
+
+* **Fixed-shape decode.** One jitted ``decode_chunk`` runs every step over a
+  static ``max_slots``-wide batch — inactive slots write to the null page
+  and their samples are ignored. No recompiles, no dynamic shapes.
+* **Multi-token decode.** ``lax.scan`` advances ``decode_chunk_len`` tokens
+  per dispatch, amortizing host→device latency; stop scanning happens on the
+  host afterwards and over-generated tokens are trimmed (their KV writes are
+  masked out by ``seq_lens`` so the cache stays consistent).
+* **Bucketed prefill.** Prompts are padded to power-of-two buckets so the
+  prefill jit cache stays small.
+* **Paged KV + prefix reuse.** Page tables come from ``PageAllocator``;
+  completed turns are inserted into the radix :class:`PrefixCache` so a
+  trajectory returning from a tool call (web I/O) re-prefills only its new
+  suffix — the reference pays full prefill per turn at its providers.
+* **Fused on-device sampling** (engine/sampling.py) with per-slot params.
+
+Host↔engine contract is thread-safe: ``submit`` returns a
+``concurrent.futures.Future``; the engine loop runs in a daemon thread.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+import time
+import uuid
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.registry import get_model
+from .kvcache import PageAllocator, init_kv_pages
+from .prefix_cache import PrefixCache
+from .sampling import SamplingParams, sample, update_seen
+from .stopping import StopState
+
+
+@dataclass
+class GenerationRequest:
+    prompt_ids: list[int]
+    max_tokens: int = 256
+    temperature: float = 0.7
+    top_k: int = 20
+    top_p: float = 0.8
+    min_p: float = 0.05
+    repetition_penalty: float = 1.05
+    stop: tuple[str, ...] = ()
+    include_stop_str: bool = False
+    request_id: str = field(default_factory=lambda: uuid.uuid4().hex[:16])
+
+
+@dataclass
+class GenerationResult:
+    request_id: str
+    token_ids: list[int]
+    text: str
+    finish_reason: str
+    prompt_tokens: int
+    completion_tokens: int
+    cached_prompt_tokens: int = 0
+
+
+class _Slot:
+    """Host-side state for one active sequence."""
+
+    def __init__(self, idx: int):
+        self.idx = idx
+        self.req: GenerationRequest | None = None
+        self.future: Future | None = None
+        self.pages: list[int] = []
+        self.shared_pages: list[int] = []
+        self.prompt_tokens: list[int] = []
+        self.prompt_len = 0
+        self.cached_len = 0
+        self.generated: list[int] = []
+        self.stop: StopState | None = None
+        self.active = False
+
+    def reset(self):
+        self.req = None
+        self.future = None
+        self.pages = []
+        self.shared_pages = []
+        self.prompt_tokens = []
+        self.prompt_len = 0
+        self.cached_len = 0
+        self.generated = []
+        self.stop = None
+        self.active = False
+
+
+class Engine:
+    def __init__(
+        self,
+        model_name: str,
+        tokenizer,
+        params: dict | None = None,
+        *,
+        mesh=None,
+        rules=None,
+        max_slots: int = 8,
+        page_size: int = 16,
+        n_pages: int = 512,
+        max_seq_len: int = 1024,
+        decode_chunk_len: int = 8,
+        attn_impl: str | None = None,
+        seed: int = 0,
+        enable_prefix_cache: bool = True,
+    ):
+        fam = get_model(model_name)
+        self.cfg = fam.config
+        self.forward = fam.forward
+        self.tokenizer = tokenizer
+        self.mesh = mesh
+        self.max_slots = max_slots
+        self.page_size = page_size
+        self.n_pages = n_pages
+        self.max_seq_len = max_seq_len
+        self.max_pages_per_seq = -(-max_seq_len // page_size)
+        self.decode_chunk_len = decode_chunk_len
+        if attn_impl is None:
+            attn_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        self.attn_impl = attn_impl
+
+        if params is None:
+            params = fam.init_params(self.cfg, jax.random.PRNGKey(seed))
+        self.params = params
+
+        cfgv = self.cfg
+        self.k_pages, self.v_pages = init_kv_pages(
+            cfgv.n_layers, n_pages, page_size, cfgv.n_kv_heads, cfgv.head_dim,
+            dtype=cfgv.jnp_dtype,
+        )
+        self.allocator = PageAllocator(n_pages, page_size)
+        self.prefix_cache = PrefixCache(self.allocator) if enable_prefix_cache else None
+
+        B, V = max_slots, cfgv.vocab_size
+        self.slots = [_Slot(i) for i in range(B)]
+        self.page_tables = np.zeros((B, self.max_pages_per_seq), np.int32)
+        self.seq_lens = np.zeros((B,), np.int32)
+        self.last_tok = np.zeros((B,), np.int32)
+        self.seen = jnp.zeros((B, V), bool)
+        self.samp_host = {
+            "temperature": np.full((B,), 0.7, np.float32),
+            "top_k": np.full((B,), 20, np.int32),
+            "top_p": np.full((B,), 0.8, np.float32),
+            "min_p": np.full((B,), 0.05, np.float32),
+            "repetition_penalty": np.full((B,), 1.05, np.float32),
+        }
+        self.rng = jax.random.PRNGKey(seed)
+        self.step_counter = 0
+
+        self._queue: "queue.Queue[tuple[GenerationRequest, Future]]" = queue.Queue()
+        self._wake = threading.Event()
+        self._stopping = False
+        self._thread: threading.Thread | None = None
+        self._jit_cache: dict[int, Any] = {}
+
+        # telemetry (reference keeps per-category api_counters,
+        # scripts/deep_search.py:3515-3523; we add engine-side step timing)
+        self.stats = {
+            "requests": 0, "prefill_tokens": 0, "decode_tokens": 0,
+            "decode_steps": 0, "decode_time_s": 0.0, "prefill_time_s": 0.0,
+            "preemptions": 0,
+        }
+
+        self._decode_fn = self._build_decode_fn()
+
+    # ---------------------------------------------------------------- jit fns
+
+    def _build_decode_fn(self):
+        cfg, fwd = self.cfg, self.forward
+        chunk = self.decode_chunk_len
+
+        @partial(jax.jit, donate_argnums=(0, 1, 4))
+        def decode_chunk(k_pages, v_pages, params, page_tables, seen,
+                         last_tok, seq_lens, active, samp, key):
+            sp = SamplingParams(
+                samp["temperature"], samp["top_k"], samp["top_p"],
+                samp["min_p"], samp["repetition_penalty"],
+            )
+
+            def step(carry, step_key):
+                kp, vp, last, lens, seen = carry
+                pos = jnp.where(active, lens, -1)[:, None]
+                logits, (kp, vp) = fwd(
+                    params, cfg, last[:, None], pos,
+                    k_pages=kp, v_pages=vp, page_table=page_tables,
+                    seq_lens=lens + active.astype(jnp.int32),
+                )
+                nxt = sample(logits[:, 0], sp, seen, step_key)
+                nxt = jnp.where(active, nxt, last)
+                seen = update_seen(seen, nxt)
+                lens = lens + active.astype(jnp.int32)
+                return (kp, vp, nxt, lens, seen), nxt
+
+            keys = jax.random.split(key, chunk)
+            (k_pages, v_pages, last_tok, seq_lens, seen), toks = jax.lax.scan(
+                step, (k_pages, v_pages, last_tok, seq_lens, seen), keys
+            )
+            return k_pages, v_pages, seen, last_tok, seq_lens, toks.T  # [B, chunk]
+
+        return decode_chunk
+
+    def _prefill_fn(self, bucket: int):
+        if bucket in self._jit_cache:
+            return self._jit_cache[bucket]
+        cfg, fwd = self.cfg, self.forward
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def prefill(k_pages, v_pages, params, tokens, positions, page_table,
+                    seq_lens, logits_idx):
+            logits, (k_pages, v_pages) = fwd(
+                params, cfg, tokens, positions,
+                k_pages=k_pages, v_pages=v_pages, page_table=page_table,
+                seq_lens=seq_lens, logits_indices=logits_idx,
+            )
+            return k_pages, v_pages, logits[:, 0]
+
+        self._jit_cache[bucket] = prefill
+        return prefill
+
+    # ------------------------------------------------------------- public API
+
+    def submit(self, req: GenerationRequest) -> Future:
+        fut: Future = Future()
+        self._queue.put((req, fut))
+        self._wake.set()
+        self.start()
+        return fut
+
+    def generate(self, req: GenerationRequest) -> GenerationResult:
+        return self.submit(req).result()
+
+    def start(self):
+        if self._thread is None or not self._thread.is_alive():
+            self._stopping = False
+            self._thread = threading.Thread(target=self._loop, daemon=True)
+            self._thread.start()
+
+    def shutdown(self):
+        self._stopping = True
+        self._wake.set()
+        if self._thread is not None:
+            self._thread.join(timeout=10)
+
+    # ------------------------------------------------------------- scheduler
+
+    def _loop(self):
+        while not self._stopping:
+            try:
+                admitted = self._admit()
+                any_active = any(s.active for s in self.slots)
+                if not any_active:
+                    if not admitted:
+                        self._wake.wait(timeout=0.05)
+                        self._wake.clear()
+                    continue
+                self._decode_step()
+            except Exception as e:  # engine-step crash: fail in-flight work loudly
+                import traceback
+
+                traceback.print_exc()
+                for s in self.slots:
+                    if s.future is not None and not s.future.done():
+                        s.future.set_exception(e)
+                    s.reset()
+                while not self._queue.empty():
+                    try:
+                        _, fut = self._queue.get_nowait()
+                        fut.set_exception(e)
+                    except queue.Empty:
+                        break
+                return
+
+    def _bucket(self, n: int) -> int:
+        b = 16
+        while b < n:
+            b *= 2
+        return min(b, self.max_seq_len)
+
+    def _free_slot(self) -> _Slot | None:
+        for s in self.slots:
+            if not s.active and s.req is None:
+                return s
+        return None
+
+    def _ensure_pages(self, needed: int) -> bool:
+        if self.allocator.can_alloc(needed):
+            return True
+        if self.prefix_cache is not None:
+            self.prefix_cache.evict_lru(needed)
+        return self.allocator.can_alloc(needed)
+
+    def _admit(self) -> bool:
+        admitted = False
+        while True:
+            slot = self._free_slot()
+            if slot is None:
+                break
+            try:
+                req, fut = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            try:
+                self._start_request(slot, req, fut)
+                admitted = True
+            except Exception as e:  # surface failures to the caller
+                slot.reset()
+                if not fut.done():
+                    fut.set_exception(e)
+        return admitted
+
+    def _start_request(self, slot: _Slot, req: GenerationRequest, fut: Future):
+        t0 = time.monotonic()
+        prompt = list(req.prompt_ids)
+        if len(prompt) >= self.max_seq_len:
+            prompt = prompt[-(self.max_seq_len - req.max_tokens - 1):]
+        total_budget = min(len(prompt) + req.max_tokens + self.decode_chunk_len,
+                           self.max_seq_len)
+
+        shared: list[int] = []
+        cached_len = 0
+        if self.prefix_cache is not None and len(prompt) > self.page_size:
+            # never match the entire prompt — at least one token must be
+            # prefilled to produce next-token logits
+            matchable = prompt[:-1]
+            shared, cached_len = self.prefix_cache.match(matchable)
+
+        n_new_pages = -(-total_budget // self.page_size) - len(shared)
+        if not self._ensure_pages(n_new_pages):
+            if shared:
+                self.allocator.free(shared)
+            raise MemoryError("KV pages exhausted")
+        own = self.allocator.alloc(max(n_new_pages, 0))
+
+        slot.req, slot.future = req, fut
+        slot.shared_pages = shared
+        slot.pages = own
+        slot.prompt_tokens = prompt
+        slot.prompt_len = len(prompt)
+        slot.cached_len = cached_len
+        slot.generated = []
+        eos_ids = tuple(i for i in (self.tokenizer.eos_id,) if i is not None)
+        slot.stop = StopState(tuple(req.stop), eos_ids, req.max_tokens,
+                              req.include_stop_str)
+
+        all_pages = shared + own
+        b = slot.idx
+        self.page_tables[b, :] = 0
+        self.page_tables[b, : len(all_pages)] = all_pages
+
+        # prefill the un-cached suffix
+        suffix = prompt[cached_len:]
+        T = len(suffix)
+        bucket = self._bucket(T)
+        tokens = np.zeros((1, bucket), np.int32)
+        tokens[0, :T] = suffix
+        positions = np.full((1, bucket), -1, np.int32)
+        positions[0, :T] = np.arange(cached_len, cached_len + T)
+
+        prefill = self._prefill_fn(bucket)
+        table = jnp.asarray(self.page_tables[b : b + 1])
+        self.k_pages, self.v_pages, logits = prefill(
+            self.k_pages, self.v_pages, self.params,
+            jnp.asarray(tokens), jnp.asarray(positions), table,
+            jnp.array([len(prompt)], np.int32),
+            jnp.array([T - 1], np.int32),
+        )
+
+        # seed sampling state: mark prompt tokens seen, then sample first token
+        seen_row = np.zeros((self.cfg.vocab_size,), bool)
+        ids = np.asarray(prompt, np.int64)
+        seen_row[ids[ids < self.cfg.vocab_size]] = True
+        self.seen = self.seen.at[b].set(jnp.asarray(seen_row))
+
+        for k, v in (("temperature", req.temperature), ("top_k", req.top_k),
+                     ("top_p", req.top_p), ("min_p", req.min_p),
+                     ("repetition_penalty", req.repetition_penalty)):
+            self.samp_host[k][b] = v
+
+        self.rng, sk = jax.random.split(self.rng)
+        sp1 = SamplingParams(*(jnp.asarray(self.samp_host[k][b : b + 1]) for k in
+                               ("temperature", "top_k", "top_p", "min_p",
+                                "repetition_penalty")))
+        first = sample(logits, sp1, self.seen[b : b + 1], sk)
+        first_tok = int(first[0])
+        self.seen = self.seen.at[b, first_tok].set(True)
+
+        self.seq_lens[b] = len(prompt)
+        self.last_tok[b] = first_tok
+        slot.active = True
+        self._record_token(slot, first_tok)
+        self.stats["requests"] += 1
+        self.stats["prefill_tokens"] += T
+        self.stats["prefill_time_s"] += time.monotonic() - t0
+        if slot.stop.finished or len(prompt) + len(slot.generated) >= self.max_seq_len:
+            self._finish_slot(slot)
+
+    def _record_token(self, slot: _Slot, tok: int):
+        piece = self.tokenizer.decode([tok])
+        slot.generated.append(tok)
+        slot.stop.feed(tok, piece)
+
+    def _decode_step(self):
+        t0 = time.monotonic()
+        active = np.array([s.active for s in self.slots], bool)
+        # page headroom for the chunk
+        for s in self.slots:
+            if not s.active:
+                continue
+            need_tokens = int(self.seq_lens[s.idx]) + self.decode_chunk_len + 1
+            need_pages = -(-need_tokens // self.page_size)
+            have = len(s.shared_pages) + len(s.pages)
+            if need_pages > have:
+                extra = need_pages - have
+                if not self._ensure_pages(extra):
+                    self._finish_slot(s, reason="length")  # out of memory: stop
+                    self.stats["preemptions"] += 1
+                    active[s.idx] = False
+                    continue
+                new = self.allocator.alloc(extra)
+                self.page_tables[s.idx, have : have + extra] = new
+                s.pages.extend(new)
+
+        if not active.any():
+            return
+        self.rng, key = jax.random.split(self.rng)
+        samp = {k: jnp.asarray(v) for k, v in self.samp_host.items()}
+        (self.k_pages, self.v_pages, self.seen, last, lens, toks) = self._decode_fn(
+            self.k_pages, self.v_pages, self.params,
+            jnp.asarray(self.page_tables), self.seen,
+            jnp.asarray(self.last_tok), jnp.asarray(self.seq_lens),
+            jnp.asarray(active), samp, key,
+        )
+        toks_np = np.asarray(toks)
+        self.last_tok = np.array(last)   # copies: jax buffers are read-only
+        self.seq_lens = np.array(lens)
+
+        n_new = 0
+        for s in self.slots:
+            if not s.active or not active[s.idx]:
+                continue
+            for j in range(self.decode_chunk_len):
+                tok = int(toks_np[s.idx, j])
+                self._record_token(s, tok)
+                n_new += 1
+                if s.stop.finished:
+                    # trim over-generated tokens: KV past the true end is
+                    # masked by seq_lens so no cleanup needed on device
+                    extra = self.decode_chunk_len - 1 - j
+                    self.seq_lens[s.idx] -= extra
+                    self._finish_slot(s)
+                    break
+            else:
+                if self.seq_lens[s.idx] + self.decode_chunk_len >= self.max_seq_len:
+                    self._finish_slot(s, reason="length")
+        self.stats["decode_tokens"] += n_new
+        self.stats["decode_steps"] += 1
+        self.stats["decode_time_s"] += time.monotonic() - t0
+
+    def _finish_slot(self, slot: _Slot, reason: str | None = None):
+        req, fut = slot.req, slot.future
+        st = slot.stop
+        finish = reason or st.finish_reason or "stop"
+        gen_ids = list(slot.generated)
+        # strip tokens beyond the stop point for the id list (text already cut)
+        result = GenerationResult(
+            request_id=req.request_id,
+            token_ids=gen_ids,
+            text=st.text,
+            finish_reason=finish,
+            prompt_tokens=slot.prompt_len,
+            completion_tokens=st.n_tokens,
+            cached_prompt_tokens=slot.cached_len,
+        )
+        # insert finished sequence into the prefix cache (full pages only)
+        if self.prefix_cache is not None:
+            full_tokens = list(slot.prompt_tokens) + gen_ids
+            n_full = int(self.seq_lens[slot.idx]) // self.page_size
+            all_pages = (slot.shared_pages + slot.pages)[:n_full]
+            if all_pages:
+                self.prefix_cache.insert(full_tokens, all_pages)
+        self.allocator.free(slot.shared_pages)
+        self.allocator.free(slot.pages)
+        self.page_tables[slot.idx, :] = 0
+        self.seq_lens[slot.idx] = 0
+        slot_fut = fut
+        slot.reset()
+        if slot_fut is not None and not slot_fut.done():
+            slot_fut.set_result(result)
+
+    # ---------------------------------------------------------------- helpers
+
+    def telemetry(self) -> dict:
+        out = dict(self.stats)
+        if self.prefix_cache is not None:
+            out["prefix_cache"] = self.prefix_cache.stats()
+        if out["decode_time_s"] > 0:
+            out["decode_tokens_per_s"] = out["decode_tokens"] / out["decode_time_s"]
+        return out

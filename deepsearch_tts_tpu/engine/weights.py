@@ -1,0 +1,100 @@
+"""Weight loading: HF safetensors → this framework's stacked-layer pytrees.
+
+The reference never touches weights (inference is rented over HTTP); this is
+the TPU-native replacement. Handles the Qwen3 dense naming scheme
+(``model.layers.N.self_attn.q_proj.weight`` etc.), transposes to the
+right-multiply convention used by models/qwen3.py, stacks per-layer tensors
+along a leading layer axis for the scan-over-layers forward, and casts to
+bf16. Falls back to random init when no weights directory is given (tests,
+benchmarks).
+"""
+from __future__ import annotations
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _load_safetensors_dir(path: str) -> dict[str, np.ndarray]:
+    """Minimal safetensors reader (header = JSON length-prefixed, then raw
+    little-endian tensor bytes). No external dependency."""
+    import struct
+
+    tensors: dict[str, np.ndarray] = {}
+    files = [f for f in os.listdir(path) if f.endswith(".safetensors")]
+    if not files:
+        raise FileNotFoundError(f"no .safetensors files under {path}")
+    dtype_map = {
+        "F32": np.float32, "F16": np.float16, "BF16": np.uint16,  # bf16 via view
+        "I64": np.int64, "I32": np.int32, "U8": np.uint8,
+    }
+    for fname in sorted(files):
+        with open(os.path.join(path, fname), "rb") as f:
+            (hlen,) = struct.unpack("<Q", f.read(8))
+            header = json.loads(f.read(hlen).decode("utf-8"))
+            base = 8 + hlen
+            for name, meta in header.items():
+                if name == "__metadata__":
+                    continue
+                dt, shape = meta["dtype"], meta["shape"]
+                start, end = meta["data_offsets"]
+                f.seek(base + start)
+                raw = f.read(end - start)
+                arr = np.frombuffer(raw, dtype=dtype_map[dt]).reshape(shape)
+                if dt == "BF16":
+                    # widen bf16 -> f32 via bit shift
+                    arr = (arr.astype(np.uint32) << 16).view(np.float32)
+                tensors[name] = arr
+    return tensors
+
+
+def convert_qwen3_dense(raw: dict[str, np.ndarray], cfg) -> dict:
+    """HF Qwen3 checkpoint → stacked pytree matching models/qwen3.py."""
+    L = cfg.n_layers
+    dt = jnp.bfloat16
+
+    def get(name):
+        return raw[name]
+
+    def stack(fmt, transpose=True):
+        mats = []
+        for i in range(L):
+            w = get(fmt.format(i))
+            mats.append(w.T if transpose else w)
+        return jnp.asarray(np.stack(mats), dt)
+
+    params = {
+        "embed": jnp.asarray(get("model.embed_tokens.weight"), dt),
+        "final_norm": jnp.asarray(get("model.norm.weight"), dt),
+        "layers": {
+            "ln1": stack("model.layers.{}.input_layernorm.weight", transpose=False),
+            "ln2": stack("model.layers.{}.post_attention_layernorm.weight", transpose=False),
+            "q_norm": stack("model.layers.{}.self_attn.q_norm.weight", transpose=False),
+            "k_norm": stack("model.layers.{}.self_attn.k_norm.weight", transpose=False),
+            "wq": stack("model.layers.{}.self_attn.q_proj.weight"),
+            "wk": stack("model.layers.{}.self_attn.k_proj.weight"),
+            "wv": stack("model.layers.{}.self_attn.v_proj.weight"),
+            "wo": stack("model.layers.{}.self_attn.o_proj.weight"),
+            "w_gate": stack("model.layers.{}.mlp.gate_proj.weight"),
+            "w_up": stack("model.layers.{}.mlp.up_proj.weight"),
+            "w_down": stack("model.layers.{}.mlp.down_proj.weight"),
+        },
+    }
+    if "lm_head.weight" in raw and not cfg.tie_embeddings:
+        params["lm_head"] = jnp.asarray(raw["lm_head.weight"].T, dt)
+    return params
+
+
+def load_or_init_params(model_name: str, weights_path: str = "",
+                        seed: int = 0) -> tuple[dict, str]:
+    """Return (params, resolved model name). Random init when no weights."""
+    from ..models.registry import get_model
+
+    fam = get_model(model_name)
+    if weights_path:
+        raw = _load_safetensors_dir(weights_path)
+        return convert_qwen3_dense(raw, fam.config), fam.name
+    return fam.init_params(fam.config, jax.random.PRNGKey(seed)), fam.name

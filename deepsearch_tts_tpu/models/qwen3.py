@@ -1,0 +1,227 @@
+"""Qwen3 dense decoder family — pure functional JAX, scan-over-layers.
+
+TPU-first design notes:
+
+* Parameters are *stacked* across layers (leading ``L`` dim) and the forward
+  pass is a single ``lax.scan`` — one layer gets traced/compiled regardless of
+  depth, and the paged KV pools thread through the scan carry so XLA keeps
+  the update in place.
+* Every weight carries logical sharding axes (see ``parallel/sharding.py``);
+  megatron TP falls out of the rules table: wq/wk/wv/gate/up column-sharded
+  over ``tp``, wo/down row-sharded, with XLA inserting the psum.
+* Serving and training share the same block code; the attention op switches
+  between full-causal (train) and paged (serve).
+
+Architecture facts (per the published Qwen3 family): GQA with per-head
+QK-RMSNorm, no attention/MLP biases, SwiGLU, RoPE theta 1e6, tied embeddings
+on the small variants. The reference consumes these models via OpenRouter
+HTTP (reference: scripts/deep_search.py:453-520); here they run in-house.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import attention as attn_ops
+from .common import apply_rope, dense_init, rms_norm, rope_angles
+
+
+@dataclass(frozen=True)
+class Qwen3Config:
+    vocab_size: int = 151936
+    hidden: int = 4096
+    n_layers: int = 36
+    n_heads: int = 32
+    n_kv_heads: int = 8
+    head_dim: int = 128
+    intermediate: int = 12288
+    rope_theta: float = 1_000_000.0
+    rms_eps: float = 1e-6
+    tie_embeddings: bool = False
+    dtype: str = "bfloat16"
+
+    @property
+    def jnp_dtype(self):
+        return jnp.dtype(self.dtype)
+
+
+# Published size points of the family (head_dim is 128 across the board).
+QWEN3_CONFIGS = {
+    "qwen3-0.6b": Qwen3Config(hidden=1024, n_layers=28, n_heads=16, n_kv_heads=8,
+                              intermediate=3072, tie_embeddings=True),
+    "qwen3-1.7b": Qwen3Config(hidden=2048, n_layers=28, n_heads=16, n_kv_heads=8,
+                              intermediate=6144, tie_embeddings=True),
+    "qwen3-4b": Qwen3Config(hidden=2560, n_layers=36, n_heads=32, n_kv_heads=8,
+                            intermediate=9728, tie_embeddings=True),
+    "qwen3-8b": Qwen3Config(hidden=4096, n_layers=36, n_heads=32, n_kv_heads=8,
+                            intermediate=12288),
+    "qwen3-14b": Qwen3Config(hidden=5120, n_layers=40, n_heads=40, n_kv_heads=8,
+                             intermediate=17408),
+    "qwen3-32b": Qwen3Config(hidden=5120, n_layers=64, n_heads=64, n_kv_heads=8,
+                             intermediate=25600),
+    # tiny config for tests/benchmarks
+    "qwen3-test": Qwen3Config(vocab_size=512, hidden=128, n_layers=2, n_heads=4,
+                              n_kv_heads=2, head_dim=32, intermediate=256,
+                              tie_embeddings=True),
+}
+
+
+def init_params(cfg: Qwen3Config, key: jax.Array) -> dict:
+    dt = cfg.jnp_dtype
+    E, H, K, D, F, L = (cfg.hidden, cfg.n_heads, cfg.n_kv_heads, cfg.head_dim,
+                        cfg.intermediate, cfg.n_layers)
+    ks = jax.random.split(key, 8)
+
+    def layer_stack(kbase, shape, in_axis=0):
+        keys = jax.random.split(kbase, L)
+        return jnp.stack([dense_init(k, shape, in_axis=in_axis, dtype=dt) for k in keys])
+
+    params = {
+        "embed": dense_init(ks[1], (cfg.vocab_size, E), in_axis=1, dtype=dt),
+        "layers": {
+            "ln1": jnp.ones((L, E), dt),
+            "ln2": jnp.ones((L, E), dt),
+            "q_norm": jnp.ones((L, D), dt),
+            "k_norm": jnp.ones((L, D), dt),
+            "wq": layer_stack(ks[2], (E, H * D)),
+            "wk": layer_stack(ks[3], (E, K * D)),
+            "wv": layer_stack(ks[4], (E, K * D)),
+            "wo": layer_stack(ks[5], (H * D, E)),
+            "w_gate": layer_stack(ks[6], (E, F)),
+            "w_up": layer_stack(ks[7], (E, F)),
+            "w_down": layer_stack(jax.random.fold_in(ks[7], 1), (F, E)),
+        },
+        "final_norm": jnp.ones((E,), dt),
+    }
+    if not cfg.tie_embeddings:
+        params["lm_head"] = dense_init(jax.random.fold_in(ks[1], 1), (E, cfg.vocab_size), dtype=dt)
+    return params
+
+
+def logical_axes(cfg: Qwen3Config) -> dict:
+    """Pytree of logical-axis tuples mirroring init_params output."""
+    lax_ = {
+        "ln1": ("layer", "embed"), "ln2": ("layer", "embed"),
+        "q_norm": ("layer", None), "k_norm": ("layer", None),
+        "wq": ("layer", "embed", "heads"),
+        "wk": ("layer", "embed", "kv_heads"),
+        "wv": ("layer", "embed", "kv_heads"),
+        "wo": ("layer", "heads", "embed"),
+        "w_gate": ("layer", "embed", "mlp"),
+        "w_up": ("layer", "embed", "mlp"),
+        "w_down": ("layer", "mlp", "embed"),
+    }
+    tree = {"embed": ("vocab", "embed"), "layers": lax_, "final_norm": ("embed",)}
+    if not cfg.tie_embeddings:
+        tree["lm_head"] = ("embed", "vocab")
+    return tree
+
+
+def _block(cfg: Qwen3Config, lp: dict, x, cos, sin, attend):
+    """One decoder layer. ``attend(q, k, v) -> [B,T,H,D]`` is supplied by the
+    caller (paged or full-causal)."""
+    B, T, E = x.shape
+    H, K, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+
+    h = rms_norm(x, lp["ln1"], cfg.rms_eps)
+    q = jnp.dot(h, lp["wq"], preferred_element_type=jnp.bfloat16).reshape(B, T, H, D)
+    k = jnp.dot(h, lp["wk"], preferred_element_type=jnp.bfloat16).reshape(B, T, K, D)
+    v = jnp.dot(h, lp["wv"], preferred_element_type=jnp.bfloat16).reshape(B, T, K, D)
+    q = rms_norm(q, lp["q_norm"], cfg.rms_eps)
+    k = rms_norm(k, lp["k_norm"], cfg.rms_eps)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+
+    o = attend(q.astype(x.dtype), k.astype(x.dtype), v)
+    o = jnp.dot(o.reshape(B, T, H * D), lp["wo"], preferred_element_type=jnp.bfloat16)
+    x = x + o.astype(x.dtype)
+
+    h = rms_norm(x, lp["ln2"], cfg.rms_eps)
+    g = jnp.dot(h, lp["w_gate"], preferred_element_type=jnp.bfloat16)
+    u = jnp.dot(h, lp["w_up"], preferred_element_type=jnp.bfloat16)
+    mlp = jnp.dot(jax.nn.silu(g.astype(jnp.float32)).astype(u.dtype) * u, lp["w_down"],
+                  preferred_element_type=jnp.bfloat16)
+    return x + mlp.astype(x.dtype)
+
+
+def forward(
+    params: dict,
+    cfg: Qwen3Config,
+    tokens: jax.Array,            # [B, T] int32
+    positions: jax.Array,         # [B, T] int32 absolute; <0 = padding
+    *,
+    k_pages: jax.Array | None = None,   # [L, N, ps, K, D] serving mode
+    v_pages: jax.Array | None = None,
+    page_table: jax.Array | None = None,  # [B, P]
+    seq_lens: jax.Array | None = None,    # [B]
+    logits_indices: jax.Array | None = None,  # [B] position in T to project
+    impl: str = "xla",
+):
+    """Run the decoder.
+
+    Serving mode (pages given): writes the chunk's KV into the paged cache,
+    attends over the full cached sequence, returns
+    ``(logits [B,(T|1),V], (k_pages, v_pages))``.
+    Training mode (pages None): full causal attention, returns
+    ``(logits [B,T,V], None)``.
+    """
+    from ..engine.kvcache import write_kv_layer
+
+    serving = k_pages is not None
+    x = jnp.take(params["embed"], tokens, axis=0)
+    cos, sin = rope_angles(jnp.maximum(positions, 0), cfg.head_dim, cfg.rope_theta)
+
+    lp_stack = params["layers"]
+
+    if serving:
+        def body(x, xs):
+            lp, kp_l, vp_l = xs
+
+            def attend(q, k, v):
+                kw, vw = write_kv_layer(kp_l, vp_l, k, v, positions, page_table)
+                out = attn_ops.paged_attention(
+                    q, kw, vw, page_table, seq_lens, jnp.maximum(positions, 0),
+                    impl=impl,
+                )
+                return out, kw, vw
+
+            B, T, E = x.shape
+            H, K, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+            h = rms_norm(x, lp["ln1"], cfg.rms_eps)
+            q = jnp.dot(h, lp["wq"], preferred_element_type=jnp.bfloat16).reshape(B, T, H, D)
+            k = jnp.dot(h, lp["wk"], preferred_element_type=jnp.bfloat16).reshape(B, T, K, D)
+            v = jnp.dot(h, lp["wv"], preferred_element_type=jnp.bfloat16).reshape(B, T, K, D)
+            q = rms_norm(q, lp["q_norm"], cfg.rms_eps)
+            k = rms_norm(k, lp["k_norm"], cfg.rms_eps)
+            q = apply_rope(q, cos, sin).astype(x.dtype)
+            k = apply_rope(k, cos, sin).astype(x.dtype)
+            o, kw, vw = attend(q, k, v.astype(x.dtype))
+            o = jnp.dot(o.reshape(B, T, H * D), lp["wo"], preferred_element_type=jnp.bfloat16)
+            x = x + o.astype(x.dtype)
+            h = rms_norm(x, lp["ln2"], cfg.rms_eps)
+            g = jnp.dot(h, lp["w_gate"], preferred_element_type=jnp.bfloat16)
+            u = jnp.dot(h, lp["w_up"], preferred_element_type=jnp.bfloat16)
+            mlp = jnp.dot(jax.nn.silu(g.astype(jnp.float32)).astype(u.dtype) * u,
+                          lp["w_down"], preferred_element_type=jnp.bfloat16)
+            x = x + mlp.astype(x.dtype)
+            return x, (kw, vw)
+
+        x, (k_pages, v_pages) = jax.lax.scan(body, x, (lp_stack, k_pages, v_pages))
+    else:
+        def body(x, lp):
+            def attend(q, k, v):
+                return attn_ops.causal_attention(q, k, v, impl=impl)
+            return _block(cfg, lp, x, cos, sin, attend), None
+
+        x, _ = jax.lax.scan(body, x, lp_stack)
+
+    x = rms_norm(x, params["final_norm"], cfg.rms_eps)
+    if logits_indices is not None:
+        x = jnp.take_along_axis(x, logits_indices[:, None, None], axis=1)  # [B,1,E]
+    head = params.get("lm_head")
+    if head is None:
+        head = params["embed"].T
+    logits = jnp.dot(x, head, preferred_element_type=jnp.float32)
+    return (logits, (k_pages, v_pages) if serving else None)

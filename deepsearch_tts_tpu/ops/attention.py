@@ -1,0 +1,94 @@
+"""Attention implementations: XLA reference paths + Pallas dispatch.
+
+Three entry points, each with an ``impl`` switch:
+
+* :func:`causal_attention`  — full causal self-attention (training / no-cache).
+* :func:`paged_attention`   — query chunk attends over a paged KV cache
+  (serving prefill *and* decode; decode is T=1).
+
+The XLA paths are the correctness reference (and the CPU-test path); the
+Pallas kernels in ``ops/flash_attention.py`` / ``ops/paged_attention.py``
+are the TPU hot paths. GQA is handled by reshaping query heads into
+[kv_heads, group] so the MXU contraction stays large.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+
+
+def _gqa_scores(q: jax.Array, k: jax.Array) -> jax.Array:
+    """q: [B,T,H,D], k: [B,S,K,D] → scores [B,K,G,T,S] with H = K*G."""
+    B, T, H, D = q.shape
+    K = k.shape[2]
+    G = H // K
+    qg = q.reshape(B, T, K, G, D)
+    return jnp.einsum("btkgd,bskd->bkgts", qg, k, preferred_element_type=jnp.float32)
+
+
+def _gqa_out(probs: jax.Array, v: jax.Array, dtype) -> jax.Array:
+    """probs: [B,K,G,T,S], v: [B,S,K,D] → [B,T,H,D]."""
+    B, K, G, T, S = probs.shape
+    out = jnp.einsum("bkgts,bskd->btkgd", probs.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32)
+    return out.reshape(B, T, K * G, v.shape[-1]).astype(dtype)
+
+
+def causal_attention(
+    q: jax.Array, k: jax.Array, v: jax.Array,
+    *, scale: float | None = None, impl: str = "xla",
+) -> jax.Array:
+    """Full causal self-attention. q,k,v: [B,T,{H|K},D] → [B,T,H,D]."""
+    if impl == "pallas":
+        from .flash_attention import flash_attention
+        return flash_attention(q, k, v, scale=scale, causal=True)
+    D = q.shape[-1]
+    scale = scale if scale is not None else D ** -0.5
+    T, S = q.shape[1], k.shape[1]
+    scores = _gqa_scores(q * scale, k)
+    mask = jnp.tril(jnp.ones((T, S), dtype=bool), k=S - T)
+    scores = jnp.where(mask, scores, NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1)
+    return _gqa_out(probs, v, q.dtype)
+
+
+def paged_attention(
+    q: jax.Array,                 # [B, T, H, D] current-chunk queries
+    k_pages: jax.Array,           # [N, ps, K, D] this layer's key pages
+    v_pages: jax.Array,           # [N, ps, K, D]
+    page_table: jax.Array,        # [B, P] int32 page ids (0 = reserved null page)
+    seq_lens: jax.Array,          # [B] total valid tokens (incl. current chunk)
+    q_positions: jax.Array,       # [B, T] absolute position of each query token
+    *, scale: float | None = None, impl: str = "xla",
+) -> jax.Array:
+    """Attend queries over their sequence's paged KV (causal by position).
+
+    The chunk's own KV must already be written to the pages. Works for
+    multi-turn re-prefill (chunk attends to the cached prefix) and decode
+    (T=1). XLA path materializes the gathered KV — fine for tests/small
+    batches; the Pallas kernel streams pages HBM→VMEM instead.
+    """
+    if impl == "pallas":
+        from .paged_attention import pallas_paged_attention
+        return pallas_paged_attention(
+            q, k_pages, v_pages, page_table, seq_lens, q_positions, scale=scale
+        )
+    B, T, H, D = q.shape
+    N, ps, K, _ = k_pages.shape
+    P = page_table.shape[1]
+    S = P * ps
+    scale = scale if scale is not None else D ** -0.5
+
+    k_ctx = k_pages[page_table].reshape(B, S, K, D)
+    v_ctx = v_pages[page_table].reshape(B, S, K, D)
+
+    scores = _gqa_scores(q * scale, k_ctx)  # [B,K,G,T,S]
+    ctx_pos = jax.lax.broadcasted_iota(jnp.int32, (B, S), 1)
+    valid = ctx_pos < seq_lens[:, None]                      # within sequence
+    causal = ctx_pos[:, None, :] <= q_positions[:, :, None]  # [B,T,S]
+    mask = (valid[:, None, :] & causal)[:, None, None, :, :]
+    scores = jnp.where(mask, scores, NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1)
+    return _gqa_out(probs, v_ctx, q.dtype)

@@ -1,0 +1,145 @@
+"""Pallas TPU paged attention (decode and chunked-prefill over a paged KV
+cache).
+
+The scheduler hands each sequence a page table; this kernel streams exactly
+the pages a sequence uses from HBM into VMEM — no [B, S, K, D] gather is
+ever materialized (the XLA fallback in ops/attention.py does materialize it,
+which is why this kernel is the serving hot path).
+
+Mechanics: ``PrefetchScalarGridSpec`` prefetches the flattened page table so
+the k/v BlockSpec index maps can translate grid coordinates (b, p) into
+physical page ids before the kernel body runs; Pallas double-buffers the
+page DMAs across the sequential p steps. Online softmax state persists in
+VMEM scratch per batch row; pages past a sequence's length are predicated
+off (their index maps resolve to the reserved null page 0).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _paged_kernel(
+    page_tables_ref,  # scalar-prefetch: [B * P] int32
+    seq_lens_ref,     # scalar-prefetch: [B] int32
+    q_pos_ref,        # scalar-prefetch: [B * T] int32 query positions
+    q_ref,            # [1, T*H, D] this row's queries (heads folded)
+    k_ref,            # [1, ps, K, D] current page
+    v_ref,            # [1, ps, K, D]
+    o_ref,            # [1, T*H, D]
+    m_ref, l_ref, acc_ref,
+    *, scale: float, page_size: int, n_kv: int, group: int, t: int,
+):
+    b = pl.program_id(0)
+    p = pl.program_id(1)
+    np_ = pl.num_programs(1)
+    ps = page_size
+
+    @pl.when(p == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    seq_len = seq_lens_ref[b]
+
+    @pl.when(p * ps < seq_len)
+    def _compute():
+        q = q_ref[0].astype(jnp.float32) * scale          # [T*H, D]
+        rows = q.shape[0]
+        k = k_ref[0].astype(jnp.float32)                  # [ps, K, D]
+        v = v_ref[0].astype(jnp.float32)
+
+        # scores for every query row vs every (slot, kv_head) pair, then mask
+        # rows to their own kv head: row r ⇒ head h = r % (K*G) // G? — rows
+        # are laid out [T, K, G] flattened, so kv head = (r // group) % n_kv.
+        kf = k.reshape(ps * n_kv, -1)                      # [ps*K, D]
+        vf = v.reshape(ps * n_kv, -1)
+        s = jax.lax.dot_general(q, kf, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)  # [rows, ps*K]
+
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        row_kv = (row_ids // group) % n_kv                # kv head of each q row
+        col_kv = col_ids % n_kv                           # kv head of each column
+        slot = col_ids // n_kv                            # slot within page
+        tok_pos = p * ps + slot                           # absolute position
+        row_t = row_ids // (n_kv * group)                 # query index in chunk
+        q_pos = q_pos_ref[b * t]                          # first query position
+        # per-row query position: q_pos_ref[b*t + row_t]; rebuild via iota add
+        row_qpos = q_pos + row_t                          # contiguous chunk assumption
+        mask = (col_kv == row_kv) & (tok_pos < seq_len) & (tok_pos <= row_qpos)
+        s = jnp.where(mask, s, NEG_INF)
+
+        m_prev = m_ref[:]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        pexp = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_ref[:] = l_ref[:] * alpha + jnp.sum(pexp, axis=1, keepdims=True)
+        pv = jax.lax.dot_general(pexp, vf, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        acc_ref[:] = acc_ref[:] * alpha + pv
+        m_ref[:] = m_new
+
+    @pl.when(p == np_ - 1)
+    def _finish():
+        denom = jnp.maximum(l_ref[:], 1e-30)
+        o_ref[0] = (acc_ref[:] / denom).astype(o_ref.dtype)
+
+
+def pallas_paged_attention(
+    q: jax.Array,            # [B, T, H, D]
+    k_pages: jax.Array,      # [N, ps, K, D]
+    v_pages: jax.Array,
+    page_table: jax.Array,   # [B, P]
+    seq_lens: jax.Array,     # [B]
+    q_positions: jax.Array,  # [B, T] (contiguous within a row)
+    *, scale: float | None = None, interpret: bool | None = None,
+) -> jax.Array:
+    B, T, H, D = q.shape
+    N, ps, K, _ = k_pages.shape
+    P = page_table.shape[1]
+    G = H // K
+    scale = scale if scale is not None else D ** -0.5
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    # fold queries: rows laid out [T, K, G] so a row's kv head is
+    # (row // G) % K — matches the kernel's masking arithmetic.
+    qf = q.reshape(B, T, K, G, D).reshape(B, T * K * G, D)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(B, P),
+        in_specs=[
+            pl.BlockSpec((1, T * H, D), lambda b, p, *refs: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ps, K, D),
+                         lambda b, p, tables, lens, qpos: (tables[b * P + p], 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ps, K, D),
+                         lambda b, p, tables, lens, qpos: (tables[b * P + p], 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, T * H, D), lambda b, p, *refs: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((T * H, 1), jnp.float32),
+            pltpu.VMEM((T * H, 1), jnp.float32),
+            pltpu.VMEM((T * H, D), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_paged_kernel, scale=scale, page_size=ps, n_kv=K,
+                          group=G, t=T),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, T * H, D), q.dtype),
+        interpret=interpret,
+    )(page_table.reshape(-1), seq_lens, q_positions.reshape(-1), qf, k_pages, v_pages)
+    return out.reshape(B, T, K, G, D).reshape(B, T, H, D)

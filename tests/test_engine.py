@@ -1,0 +1,114 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deepsearch_tts_tpu.engine.engine import Engine, GenerationRequest
+from deepsearch_tts_tpu.engine.stopping import StopState
+from deepsearch_tts_tpu.engine.tokenizer import ByteTokenizer
+from deepsearch_tts_tpu.models.qwen3 import QWEN3_CONFIGS, forward, init_params
+
+CFG = QWEN3_CONFIGS["qwen3-test"]
+
+
+@pytest.fixture(scope="module")
+def engine():
+    tk = ByteTokenizer()
+    eng = Engine(
+        "qwen3-test", tk, max_slots=4, page_size=4, n_pages=128,
+        max_seq_len=128, decode_chunk_len=4, seed=0,
+    )
+    yield eng
+    eng.shutdown()
+
+
+def _greedy_req(prompt_ids, max_tokens=8, **kw):
+    return GenerationRequest(
+        prompt_ids=prompt_ids, max_tokens=max_tokens, temperature=0.0,
+        repetition_penalty=1.0, **kw,
+    )
+
+
+def test_greedy_matches_oracle_first_token(engine):
+    prompt = [10, 20, 30, 40, 50]
+    res = engine.generate(_greedy_req(prompt, max_tokens=4))
+    toks = jnp.asarray([prompt], jnp.int32)
+    pos = jnp.arange(len(prompt), dtype=jnp.int32)[None]
+    logits, _ = forward(engine.params, CFG, toks, pos)
+    oracle_first = int(jnp.argmax(logits[0, -1]))
+    assert res.token_ids[0] == oracle_first
+    assert res.prompt_tokens == len(prompt)
+    assert res.completion_tokens == len(res.token_ids) == 4
+    assert res.finish_reason == "length"
+
+
+def test_greedy_deterministic(engine):
+    prompt = [1, 2, 3, 4, 5, 6, 7]
+    r1 = engine.generate(_greedy_req(prompt, max_tokens=10))
+    r2 = engine.generate(_greedy_req(prompt, max_tokens=10))
+    assert r1.token_ids == r2.token_ids
+
+
+def test_concurrent_requests(engine):
+    prompts = [[i, i + 1, i + 2, i + 3] for i in range(5, 45, 8)]
+    futs = [engine.submit(_greedy_req(p, max_tokens=6)) for p in prompts]
+    results = [f.result(timeout=300) for f in futs]
+    assert all(len(r.token_ids) == 6 for r in results)
+    # concurrency must not change greedy outputs
+    again = [engine.generate(_greedy_req(p, max_tokens=6)) for p in prompts]
+    for r1, r2 in zip(results, again):
+        assert r1.token_ids == r2.token_ids
+
+
+def test_prefix_cache_reuse(engine):
+    prompt = list(range(30, 60))  # long enough for several full pages
+    r1 = engine.generate(_greedy_req(prompt, max_tokens=6))
+    hits_before = engine.prefix_cache.hits
+    r2 = engine.generate(_greedy_req(prompt, max_tokens=6))
+    assert engine.prefix_cache.hits > hits_before
+    assert r2.cached_prompt_tokens > 0
+    assert r1.token_ids == r2.token_ids  # page sharing must not change logits
+
+
+def test_max_tokens_respected(engine):
+    res = engine.generate(_greedy_req([7, 8, 9], max_tokens=3))
+    assert res.completion_tokens == 3 and res.finish_reason == "length"
+
+
+def test_stop_state_cross_token_boundary():
+    st = StopState(stop_sequences=("STOP",), eos_ids=(), max_tokens=100)
+    for tok, piece in enumerate(["hello S", "TO", "P world"]):
+        done = st.feed(tok, piece)
+    assert done and st.finish_reason == "stop"
+    assert st.text == "hello "
+
+
+def test_stop_state_include_stop_str():
+    st = StopState(stop_sequences=("</x>",), eos_ids=(), max_tokens=100,
+                   include_stop_str=True)
+    st.feed(0, "abc</x>def")
+    assert st.text == "abc</x>"
+
+
+def test_stop_state_eos():
+    st = StopState(stop_sequences=(), eos_ids=(99,), max_tokens=100)
+    assert st.feed(99, "<eos>")
+    assert st.finish_reason == "stop"
+
+
+def test_engine_stop_sequence(engine):
+    # engine must cut the text at the stop sequence even mid-chunk
+    tk = engine.tokenizer
+    prompt = tk.encode("q")
+    res = engine.generate(GenerationRequest(
+        prompt_ids=prompt, max_tokens=20, temperature=0.0,
+        repetition_penalty=1.0,
+        stop=(tk.decode(engine.generate(_greedy_req(prompt, max_tokens=3)).token_ids[2:3]),),
+    ))
+    assert res.finish_reason in ("stop", "length")
+
+
+def test_telemetry(engine):
+    t = engine.telemetry()
+    assert t["requests"] > 0 and t["decode_tokens"] > 0
+    assert "prefix_cache" in t

@@ -1,0 +1,86 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deepsearch_tts_tpu.ops.attention import causal_attention, paged_attention
+from deepsearch_tts_tpu.ops.flash_attention import flash_attention
+from deepsearch_tts_tpu.ops.paged_attention import pallas_paged_attention
+
+
+def _rand(key, shape):
+    return jax.random.normal(key, shape, jnp.float32).astype(jnp.bfloat16)
+
+
+@pytest.mark.parametrize("T,H,K,D,bq,bk", [
+    (16, 4, 2, 32, 8, 8),
+    (12, 4, 4, 32, 8, 8),   # MHA (G=1), non-divisible T
+])
+def test_flash_matches_xla(T, H, K, D, bq, bk):
+    B = 2
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = _rand(ks[0], (B, T, H, D))
+    k = _rand(ks[1], (B, T, K, D))
+    v = _rand(ks[2], (B, T, K, D))
+    ref = causal_attention(q, k, v, impl="xla")
+    out = flash_attention(q, k, v, block_q=bq, block_k=bk, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(ref, np.float32), np.asarray(out, np.float32), rtol=5e-2, atol=5e-2
+    )
+
+
+def test_paged_kernel_decode_matches_xla():
+    B, H, K, D, ps, NP, P = 2, 4, 2, 32, 4, 16, 4
+    ks = jax.random.split(jax.random.PRNGKey(1), 4)
+    k_pages = _rand(ks[0], (NP, ps, K, D))
+    v_pages = _rand(ks[1], (NP, ps, K, D))
+    q = _rand(ks[2], (B, 1, H, D))
+    table = jnp.array([[3, 5, 0, 0], [7, 2, 9, 0]], jnp.int32)
+    seq_lens = jnp.array([6, 11], jnp.int32)
+    q_pos = (seq_lens - 1)[:, None]
+
+    ref = paged_attention(q, k_pages, v_pages, table, seq_lens, q_pos, impl="xla")
+    out = pallas_paged_attention(q, k_pages, v_pages, table, seq_lens, q_pos,
+                                 interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(ref, np.float32), np.asarray(out, np.float32), rtol=5e-2, atol=5e-2
+    )
+
+
+def test_paged_kernel_chunk_matches_xla():
+    """T>1 chunked prefill over pages (fresh prefill: chunk starts at 0)."""
+    B, T, H, K, D, ps, NP, P = 1, 8, 4, 2, 32, 4, 16, 4
+    ks = jax.random.split(jax.random.PRNGKey(2), 4)
+    q = _rand(ks[2], (B, T, H, D))
+    k_pages = _rand(ks[0], (NP, ps, K, D))
+    v_pages = _rand(ks[1], (NP, ps, K, D))
+    table = jnp.array([[1, 2, 0, 0]], jnp.int32)
+    seq_lens = jnp.array([T], jnp.int32)
+    q_pos = jnp.arange(T, dtype=jnp.int32)[None, :]
+
+    ref = paged_attention(q, k_pages, v_pages, table, seq_lens, q_pos, impl="xla")
+    out = pallas_paged_attention(q, k_pages, v_pages, table, seq_lens, q_pos,
+                                 interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(ref, np.float32), np.asarray(out, np.float32), rtol=5e-2, atol=5e-2
+    )
+
+
+def test_paged_kernel_resume_chunk():
+    """Re-prefill: a chunk whose positions start mid-sequence (prefix cached)."""
+    B, T, H, K, D, ps, NP = 1, 4, 2, 2, 32, 4, 16
+    ks = jax.random.split(jax.random.PRNGKey(3), 4)
+    q = _rand(ks[2], (B, T, H, D))
+    k_pages = _rand(ks[0], (NP, ps, K, D))
+    v_pages = _rand(ks[1], (NP, ps, K, D))
+    table = jnp.array([[4, 6, 8, 0]], jnp.int32)
+    start = 6
+    seq_lens = jnp.array([start + T], jnp.int32)
+    q_pos = (start + jnp.arange(T, dtype=jnp.int32))[None, :]
+
+    ref = paged_attention(q, k_pages, v_pages, table, seq_lens, q_pos, impl="xla")
+    out = pallas_paged_attention(q, k_pages, v_pages, table, seq_lens, q_pos,
+                                 interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(ref, np.float32), np.asarray(out, np.float32), rtol=5e-2, atol=5e-2
+    )
