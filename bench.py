@@ -1,0 +1,126 @@
+"""Decode-throughput benchmark on real TPU hardware.
+
+Measures the serving engine's continuous-batching decode rate (tokens/sec)
+for a Qwen3-class dense model with random bf16 weights, and reports it
+against the HBM-bandwidth roofline for this chip — the north-star metric in
+BASELINE.md ("≥50% of roofline decode tokens/sec").
+
+Roofline model (decode is HBM-bound): each decode step must read the model
+weights once (amortized over the whole batch) plus each sequence's KV
+context; step_time_roofline = bytes_moved / HBM_BW, and
+tokens/sec_roofline = batch / step_time_roofline.
+
+Prints ONE JSON line:
+  {"metric": "decode_tokens_per_sec", "value": N, "unit": "tok/s",
+   "vs_baseline": fraction_of_roofline, ...}
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+HBM_GBPS = {  # per-chip HBM bandwidth
+    "v5 lite": 819.0, "v5e": 819.0, "v5p": 2765.0, "v4": 1228.0,
+    "v6e": 1640.0, "default": 819.0,
+}
+
+
+def chip_bw_bytes() -> float:
+    kind = ""
+    try:
+        kind = jax.devices()[0].device_kind.lower()
+    except Exception:
+        pass
+    for k, v in HBM_GBPS.items():
+        if k in kind:
+            return v * 1e9
+    return HBM_GBPS["default"] * 1e9
+
+
+def count_param_bytes(params) -> int:
+    return sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(params))
+
+
+def main():
+    from deepsearch_tts_tpu.engine.engine import Engine, GenerationRequest
+    from deepsearch_tts_tpu.engine.tokenizer import ByteTokenizer
+    from deepsearch_tts_tpu.models import qwen3, registry
+    from deepsearch_tts_tpu.models.qwen3 import Qwen3Config
+
+    on_tpu = any("tpu" in d.device_kind.lower() or "TPU" in d.device_kind
+                 for d in jax.devices())
+
+    # ~0.6B-param dense model (qwen3-0.6b geometry, trimmed vocab to keep
+    # random-init time reasonable; vocab affects only the lm_head read)
+    cfg = Qwen3Config(vocab_size=32768, hidden=1024, n_layers=28, n_heads=16,
+                      n_kv_heads=8, head_dim=128, intermediate=3072,
+                      tie_embeddings=True)
+    registry.register("bench-qwen3", cfg, qwen3.init_params, qwen3.forward,
+                      lambda cfg=cfg: qwen3.logical_axes(cfg))
+
+    B = 16 if on_tpu else 2
+    PROMPT, DECODE = 128, 128
+    CHUNK = 16 if on_tpu else 4
+
+    engine = Engine(
+        "bench-qwen3", ByteTokenizer(),
+        max_slots=B, page_size=64, n_pages=B * 8 + 1, max_seq_len=512,
+        decode_chunk_len=CHUNK, seed=0, enable_prefix_cache=False,
+    )
+
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+
+    def req(i):
+        ids = rng.integers(0, cfg.vocab_size, size=PROMPT).tolist()
+        return GenerationRequest(prompt_ids=ids, max_tokens=DECODE,
+                                 temperature=0.7, top_k=20, top_p=0.8,
+                                 min_p=0.05, repetition_penalty=1.05)
+
+    # warmup: compile prefill + decode
+    engine.generate(req(-1))
+    engine.stats.update(decode_tokens=0, decode_time_s=0.0, decode_steps=0,
+                        prefill_tokens=0, prefill_time_s=0.0, requests=0)
+
+    t0 = time.monotonic()
+    futs = [engine.submit(req(i)) for i in range(B)]
+    results = [f.result(timeout=3600) for f in futs]
+    wall = time.monotonic() - t0
+
+    total_decoded = sum(r.completion_tokens for r in results)
+    st = engine.telemetry()
+    decode_tps = st["decode_tokens"] / max(st["decode_time_s"], 1e-9)
+
+    # roofline: per step read params once + B sequences' KV context
+    pbytes = count_param_bytes(engine.params)
+    kv_bytes_per_tok = 2 * cfg.n_layers * cfg.n_kv_heads * cfg.head_dim * 2  # k+v bf16
+    avg_ctx = PROMPT + DECODE / 2
+    step_bytes = pbytes + B * avg_ctx * kv_bytes_per_tok
+    roofline_tps = B / (step_bytes / chip_bw_bytes())
+    vs = decode_tps / roofline_tps
+
+    engine.shutdown()
+    print(json.dumps({
+        "metric": "decode_tokens_per_sec",
+        "value": round(decode_tps, 2),
+        "unit": "tok/s",
+        "vs_baseline": round(vs, 4),
+        "detail": {
+            "batch": B, "prompt_len": PROMPT, "decode_len": DECODE,
+            "model_params_M": round(pbytes / 2 / 1e6, 1),
+            "roofline_tok_s": round(roofline_tps, 1),
+            "wall_s": round(wall, 2),
+            "e2e_tok_s": round(total_decoded / wall, 2),
+            "device": str(jax.devices()[0]),
+            "attn_impl": engine.attn_impl,
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

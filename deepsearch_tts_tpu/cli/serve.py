@@ -1,0 +1,49 @@
+"""Serve a model behind the OpenAI-compatible endpoint.
+
+Usage:
+    python -m deepsearch_tts_tpu.cli.serve --model qwen3-8b \
+        --weights /path/to/safetensors --tokenizer /path/to/tokenizer \
+        --port 8000 --max_slots 64
+
+This is the process boundary that lets the reference's own scripts (or any
+OpenAI SDK) run against TPU serving unchanged (SURVEY.md §5: "orchestrator↔
+engine via a local OpenAI-compatible server boundary").
+"""
+from __future__ import annotations
+
+import argparse
+import asyncio
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", default="qwen3-8b")
+    p.add_argument("--weights", default="")
+    p.add_argument("--tokenizer", default="")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--max_slots", type=int, default=64)
+    p.add_argument("--page_size", type=int, default=64)
+    p.add_argument("--pages", type=int, default=4096)
+    p.add_argument("--max_seq_len", type=int, default=8192)
+    p.add_argument("--decode_chunk", type=int, default=8)
+    args = p.parse_args(argv)
+
+    from ..engine.engine import Engine
+    from ..engine.server import OpenAIServer
+    from ..engine.tokenizer import ByteTokenizer, HFTokenizer
+    from ..engine.weights import load_or_init_params
+
+    tok = HFTokenizer(args.tokenizer) if args.tokenizer else ByteTokenizer()
+    params, name = load_or_init_params(args.model, args.weights)
+    engine = Engine(name, tok, params=params, max_slots=args.max_slots,
+                    page_size=args.page_size, n_pages=args.pages,
+                    max_seq_len=args.max_seq_len,
+                    decode_chunk_len=args.decode_chunk)
+    server = OpenAIServer(engine, args.host, args.port)
+    print(f"serving {name} on http://{args.host}:{args.port}/v1")
+    asyncio.run(server.serve_forever())
+
+
+if __name__ == "__main__":
+    main()

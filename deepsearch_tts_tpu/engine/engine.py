@@ -131,7 +131,9 @@ class Engine:
         self.max_pages_per_seq = -(-max_seq_len // page_size)
         self.decode_chunk_len = decode_chunk_len
         if attn_impl is None:
-            attn_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+            from ..utils import is_tpu_backend
+
+            attn_impl = "pallas" if is_tpu_backend() else "xla"
         self.attn_impl = attn_impl
 
         if params is None:
@@ -144,7 +146,12 @@ class Engine:
             dtype=cfgv.jnp_dtype,
         )
         self.allocator = PageAllocator(n_pages, page_size)
-        self.prefix_cache = PrefixCache(self.allocator) if enable_prefix_cache else None
+        if enable_prefix_cache:
+            from .prefix_cache import make_prefix_cache
+
+            self.prefix_cache = make_prefix_cache(self.allocator)
+        else:
+            self.prefix_cache = None
 
         B, V = max_slots, cfgv.vocab_size
         self.slots = [_Slot(i) for i in range(B)]

@@ -119,3 +119,59 @@ class PrefixCache:
     def stats(self) -> dict:
         return {"hits": self.hits, "misses": self.misses,
                 "tokens_reused": self.tokens_reused}
+
+
+class NativePrefixCache:
+    """Same contract as :class:`PrefixCache`, backed by the C++ radix index
+    (native/radix_index.cpp). Falls back is handled by the caller via
+    :func:`make_prefix_cache`."""
+
+    def __init__(self, allocator: PageAllocator):
+        from ..native import NativeRadixIndex
+
+        self.alloc = allocator
+        self.page_size = allocator.page_size
+        self.ix = NativeRadixIndex(allocator.page_size)
+        self.hits = 0
+        self.misses = 0
+        self.tokens_reused = 0
+
+    def match(self, tokens: list[int]) -> tuple[list[int], int]:
+        pages = self.ix.match(list(tokens))
+        if pages:
+            self.alloc.share(pages)
+            self.hits += 1
+            self.tokens_reused += len(pages) * self.page_size
+        else:
+            self.misses += 1
+        return pages, len(pages) * self.page_size
+
+    def insert(self, tokens: list[int], pages: list[int]) -> None:
+        new_pages = self.ix.insert(list(tokens), list(pages))
+        if new_pages:
+            self.alloc.share(new_pages)
+
+    def evict_lru(self, n_pages_needed: int) -> int:
+        released = 0
+        while self.alloc.num_free < n_pages_needed:
+            page = self.ix.evict_lru()
+            if page < 0:
+                break
+            self.alloc.free([page])
+            released += 1
+        return released
+
+    def stats(self) -> dict:
+        return {"hits": self.hits, "misses": self.misses,
+                "tokens_reused": self.tokens_reused, "backend": "native",
+                "nodes": len(self.ix)}
+
+
+def make_prefix_cache(allocator: PageAllocator, prefer_native: bool = True):
+    """Best available prefix cache: C++ index when buildable, else Python."""
+    if prefer_native:
+        try:
+            return NativePrefixCache(allocator)
+        except Exception:
+            pass
+    return PrefixCache(allocator)

@@ -49,6 +49,7 @@ def apply_repetition_penalty(logits: jax.Array, seen: jax.Array, penalty: jax.Ar
 
 def _topk_mask(logits: jax.Array, k: jax.Array, max_k: int = 128) -> jax.Array:
     """Keep the top-k logits per row (k per-row, 0 disables)."""
+    max_k = min(max_k, logits.shape[-1])
     vals, _ = jax.lax.top_k(logits, max_k)                    # [B, max_k]
     idx = jnp.clip(k - 1, 0, max_k - 1)
     thresh = jnp.take_along_axis(vals, idx[:, None], axis=1)  # [B, 1]

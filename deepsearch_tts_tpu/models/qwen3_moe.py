@@ -1,0 +1,205 @@
+"""Qwen3-MoE decoder family (the reference's headline policy model class —
+qwen/qwen3-235b-a22b served via OpenRouter, reference README.md:22-40 — here
+run in-house).
+
+Same attention stack as the dense family (GQA + per-head QK-RMSNorm + RoPE);
+every layer's MLP is a top-8-of-128 SwiGLU MoE with renormalized router
+probabilities. Expert weights carry an ``expert`` logical axis which the
+serving rules map onto the ``ep`` mesh axis — XLA inserts the all-to-alls
+(SURVEY.md §2.3: EP is a first-class build target absent in the reference).
+
+``moe_impl``: 'ragged' (sort + lax.ragged_dot, fast single-slice) or
+'capacity' (GShard one-hot einsum, shardable over ep). See ops/moe.py.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import attention as attn_ops
+from ..ops.moe import moe_capacity, moe_ragged
+from .common import apply_rope, dense_init, rms_norm, rope_angles
+
+
+@dataclass(frozen=True)
+class Qwen3MoeConfig:
+    vocab_size: int = 151936
+    hidden: int = 4096
+    n_layers: int = 94
+    n_heads: int = 64
+    n_kv_heads: int = 4
+    head_dim: int = 128
+    n_experts: int = 128
+    top_k: int = 8
+    moe_intermediate: int = 1536
+    norm_topk_prob: bool = True
+    rope_theta: float = 1_000_000.0
+    rms_eps: float = 1e-6
+    tie_embeddings: bool = False
+    moe_impl: str = "ragged"
+    capacity_factor: float = 1.25
+    dtype: str = "bfloat16"
+
+    @property
+    def jnp_dtype(self):
+        return jnp.dtype(self.dtype)
+
+
+QWEN3_MOE_CONFIGS = {
+    # Qwen3-235B-A22B: 94 layers, 64 q heads / 4 kv heads, 128 experts top-8
+    "qwen3-235b-a22b": Qwen3MoeConfig(),
+    # Qwen3-30B-A3B: 48 layers, 32/4 heads, 128 experts top-8, hidden 2048
+    "qwen3-30b-a3b": Qwen3MoeConfig(hidden=2048, n_layers=48, n_heads=32,
+                                    n_kv_heads=4, moe_intermediate=768),
+    "qwen3-moe-test": Qwen3MoeConfig(vocab_size=512, hidden=64, n_layers=2,
+                                     n_heads=4, n_kv_heads=2, head_dim=16,
+                                     n_experts=8, top_k=2, moe_intermediate=96),
+}
+
+
+def init_params(cfg: Qwen3MoeConfig, key: jax.Array) -> dict:
+    dt = cfg.jnp_dtype
+    E, H, K, D, L = cfg.hidden, cfg.n_heads, cfg.n_kv_heads, cfg.head_dim, cfg.n_layers
+    NE, F = cfg.n_experts, cfg.moe_intermediate
+    ks = jax.random.split(key, 10)
+
+    def layer_stack(kbase, shape, in_axis=0):
+        keys = jax.random.split(kbase, L)
+        return jnp.stack([dense_init(k, shape, in_axis=in_axis, dtype=dt) for k in keys])
+
+    def expert_stack(kbase, shape, in_axis):
+        keys = jax.random.split(kbase, L)
+        return jnp.stack([
+            jnp.stack([dense_init(jax.random.fold_in(k, e), shape, in_axis=in_axis,
+                                  dtype=dt) for e in range(NE)])
+            for k in keys
+        ])
+
+    params = {
+        "embed": dense_init(ks[0], (cfg.vocab_size, E), in_axis=1, dtype=dt),
+        "layers": {
+            "ln1": jnp.ones((L, E), dt), "ln2": jnp.ones((L, E), dt),
+            "q_norm": jnp.ones((L, D), dt), "k_norm": jnp.ones((L, D), dt),
+            "wq": layer_stack(ks[1], (E, H * D)),
+            "wk": layer_stack(ks[2], (E, K * D)),
+            "wv": layer_stack(ks[3], (E, K * D)),
+            "wo": layer_stack(ks[4], (H * D, E)),
+            "router": layer_stack(ks[5], (E, NE)),
+            "w_gate": expert_stack(ks[6], (E, F), in_axis=0),
+            "w_up": expert_stack(ks[7], (E, F), in_axis=0),
+            "w_down": expert_stack(ks[8], (F, E), in_axis=0),
+        },
+        "final_norm": jnp.ones((E,), dt),
+    }
+    if not cfg.tie_embeddings:
+        params["lm_head"] = dense_init(ks[9], (E, cfg.vocab_size), dtype=dt)
+    return params
+
+
+def logical_axes(cfg: Qwen3MoeConfig) -> dict:
+    lax_ = {
+        "ln1": ("layer", "embed"), "ln2": ("layer", "embed"),
+        "q_norm": ("layer", None), "k_norm": ("layer", None),
+        "wq": ("layer", "embed", "heads"),
+        "wk": ("layer", "embed", "kv_heads"),
+        "wv": ("layer", "embed", "kv_heads"),
+        "wo": ("layer", "heads", "embed"),
+        "router": ("layer", "embed", None),
+        "w_gate": ("layer", "expert", "embed", "expert_mlp"),
+        "w_up": ("layer", "expert", "embed", "expert_mlp"),
+        "w_down": ("layer", "expert", "expert_mlp", "embed"),
+    }
+    tree = {"embed": ("vocab", "embed"), "layers": lax_, "final_norm": ("embed",)}
+    if not cfg.tie_embeddings:
+        tree["lm_head"] = ("embed", "vocab")
+    return tree
+
+
+def _moe_block(cfg: Qwen3MoeConfig, lp: dict, h: jax.Array) -> jax.Array:
+    B, T, E = h.shape
+    x = h.reshape(B * T, E)
+    fn = moe_ragged if cfg.moe_impl == "ragged" else moe_capacity
+    kwargs = {} if cfg.moe_impl == "ragged" else {"capacity_factor": cfg.capacity_factor}
+    out = fn(x, lp["router"], lp["w_gate"], lp["w_up"], lp["w_down"],
+             cfg.top_k, cfg.norm_topk_prob, **kwargs)
+    return out.reshape(B, T, E)
+
+
+def forward(
+    params: dict,
+    cfg: Qwen3MoeConfig,
+    tokens: jax.Array,
+    positions: jax.Array,
+    *,
+    k_pages: jax.Array | None = None,
+    v_pages: jax.Array | None = None,
+    page_table: jax.Array | None = None,
+    seq_lens: jax.Array | None = None,
+    logits_indices: jax.Array | None = None,
+    impl: str = "xla",
+):
+    """Same contract as models/qwen3.forward (serving + training modes)."""
+    from ..engine.kvcache import write_kv_layer
+
+    serving = k_pages is not None
+    x = jnp.take(params["embed"], tokens, axis=0)
+    cos, sin = rope_angles(jnp.maximum(positions, 0), cfg.head_dim, cfg.rope_theta)
+    H, K, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+
+    def attn(lp, x, attend):
+        B, T, E = x.shape
+        h = rms_norm(x, lp["ln1"], cfg.rms_eps)
+        q = jnp.dot(h, lp["wq"], preferred_element_type=jnp.bfloat16).reshape(B, T, H, D)
+        k = jnp.dot(h, lp["wk"], preferred_element_type=jnp.bfloat16).reshape(B, T, K, D)
+        v = jnp.dot(h, lp["wv"], preferred_element_type=jnp.bfloat16).reshape(B, T, K, D)
+        q = rms_norm(q, lp["q_norm"], cfg.rms_eps)
+        k = rms_norm(k, lp["k_norm"], cfg.rms_eps)
+        q = apply_rope(q, cos, sin).astype(x.dtype)
+        k = apply_rope(k, cos, sin).astype(x.dtype)
+        o = attend(q, k, v.astype(x.dtype))
+        if isinstance(o, tuple):
+            o, extra = o[0], o[1:]
+        else:
+            extra = ()
+        o = jnp.dot(o.reshape(B, T, H * D), lp["wo"], preferred_element_type=jnp.bfloat16)
+        return x + o.astype(x.dtype), extra
+
+    if serving:
+        def body(x, xs):
+            lp, kp_l, vp_l = xs
+
+            def attend(q, k, v):
+                kw, vw = write_kv_layer(kp_l, vp_l, k, v, positions, page_table)
+                out = attn_ops.paged_attention(
+                    q, kw, vw, page_table, seq_lens, jnp.maximum(positions, 0),
+                    impl=impl,
+                )
+                return out, kw, vw
+
+            x, (kw, vw) = attn(lp, x, attend)
+            h = rms_norm(x, lp["ln2"], cfg.rms_eps)
+            x = x + _moe_block(cfg, lp, h)
+            return x, (kw, vw)
+
+        x, (k_pages, v_pages) = jax.lax.scan(body, x, (params["layers"], k_pages, v_pages))
+    else:
+        def body(x, lp):
+            def attend(q, k, v):
+                return attn_ops.causal_attention(q, k, v, impl=impl)
+            x, _ = attn(lp, x, attend)
+            h = rms_norm(x, lp["ln2"], cfg.rms_eps)
+            x = x + _moe_block(cfg, lp, h)
+            return x, None
+
+        x, _ = jax.lax.scan(body, x, params["layers"])
+
+    x = rms_norm(x, params["final_norm"], cfg.rms_eps)
+    if logits_indices is not None:
+        x = jnp.take_along_axis(x, logits_indices[:, None, None], axis=1)
+    head = params.get("lm_head")
+    if head is None:
+        head = params["embed"].T
+    logits = jnp.dot(x, head, preferred_element_type=jnp.float32)
+    return (logits, (k_pages, v_pages) if serving else None)

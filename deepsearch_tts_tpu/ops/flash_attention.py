@@ -86,7 +86,9 @@ def flash_attention(
     block_q = min(block_q, T * G)
     block_k = min(block_k, S)
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+        from ..utils import is_tpu_backend
+
+        interpret = not is_tpu_backend()
 
     # Grid dim 0 runs over B*H query heads; k/v index maps divide by the GQA
     # group so each query head streams its kv head's tiles.

@@ -1,0 +1,109 @@
+"""Mixture-of-Experts routing, dispatch, and expert compute.
+
+No reference counterpart exists (the reference consumes hosted MoE models —
+qwen3-235b-a22b, kimi-k2 — over HTTP; SURVEY.md §2.2/§2.3 marks EP ABSENT).
+Two TPU-native dispatch strategies:
+
+* :func:`moe_ragged`  — sort-by-expert + ``lax.ragged_dot`` grouped matmul.
+  Static shapes (S = tokens·top_k assignment slots), one stable sort, three
+  ragged matmuls. The fast single-slice path: no one-hot tensors, MXU work
+  proportional to actual assignments.
+* :func:`moe_capacity` — GShard-style capacity-bounded one-hot dispatch/
+  combine einsums. Shardable by annotating the expert axis over the ``ep``
+  mesh axis (XLA inserts the all-to-alls); tokens over capacity are dropped
+  (standard capacity-factor semantics). Used for expert-parallel execution
+  and as the reference implementation in tests.
+
+Routing follows the Qwen3-MoE convention: softmax over router logits,
+top-k, optional renormalization of the selected probabilities
+(``norm_topk_prob``).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def route_topk(router_logits: jax.Array, top_k: int, norm_topk_prob: bool = True
+               ) -> tuple[jax.Array, jax.Array]:
+    """[T, E_exp] logits → (probs [T, k], expert ids [T, k])."""
+    probs = jax.nn.softmax(router_logits.astype(jnp.float32), axis=-1)
+    top_p, top_e = jax.lax.top_k(probs, top_k)
+    if norm_topk_prob:
+        top_p = top_p / jnp.maximum(jnp.sum(top_p, axis=-1, keepdims=True), 1e-9)
+    return top_p, top_e.astype(jnp.int32)
+
+
+def _expert_ffn_ragged(x_sorted, w_gate, w_up, w_down, group_sizes):
+    """Grouped SwiGLU over expert-sorted rows via ragged_dot."""
+    g = jax.lax.ragged_dot(x_sorted, w_gate, group_sizes)
+    u = jax.lax.ragged_dot(x_sorted, w_up, group_sizes)
+    h = (jax.nn.silu(g.astype(jnp.float32)) * u.astype(jnp.float32)).astype(x_sorted.dtype)
+    return jax.lax.ragged_dot(h, w_down, group_sizes)
+
+
+def moe_ragged(
+    x: jax.Array,        # [T, E] tokens (flattened batch)
+    router_w: jax.Array,  # [E, n_exp]
+    w_gate: jax.Array,    # [n_exp, E, F]
+    w_up: jax.Array,      # [n_exp, E, F]
+    w_down: jax.Array,    # [n_exp, F, E]
+    top_k: int,
+    norm_topk_prob: bool = True,
+) -> jax.Array:
+    T, E = x.shape
+    n_exp = router_w.shape[1]
+    logits = jnp.dot(x, router_w, preferred_element_type=jnp.float32)
+    top_p, top_e = route_topk(logits, top_k, norm_topk_prob)
+
+    S = T * top_k
+    flat_e = top_e.reshape(S)
+    flat_p = top_p.reshape(S)
+    order = jnp.argsort(flat_e, stable=True)              # assignments by expert
+    inv = jnp.argsort(order, stable=True)
+    token_of = order // top_k
+    x_sorted = x[token_of]                                # [S, E]
+    group_sizes = jnp.bincount(flat_e, length=n_exp).astype(jnp.int32)
+
+    y_sorted = _expert_ffn_ragged(x_sorted, w_gate, w_up, w_down, group_sizes)
+    y = y_sorted[inv].reshape(T, top_k, E)
+    return jnp.sum(y * flat_p.reshape(T, top_k, 1).astype(y.dtype), axis=1).astype(x.dtype)
+
+
+def moe_capacity(
+    x: jax.Array,         # [T, E]
+    router_w: jax.Array,
+    w_gate: jax.Array, w_up: jax.Array, w_down: jax.Array,
+    top_k: int,
+    norm_topk_prob: bool = True,
+    capacity_factor: float = 1.25,
+) -> jax.Array:
+    """Capacity-bounded one-hot dispatch (shardable over the expert axis)."""
+    T, E = x.shape
+    n_exp = router_w.shape[1]
+    cap = max(1, int(capacity_factor * T * top_k / n_exp))
+
+    logits = jnp.dot(x, router_w, preferred_element_type=jnp.float32)
+    top_p, top_e = route_topk(logits, top_k, norm_topk_prob)  # [T,k]
+
+    # position of each assignment within its expert's capacity buffer
+    onehot = jax.nn.one_hot(top_e, n_exp, dtype=jnp.int32)       # [T,k,n_exp]
+    flat = onehot.reshape(T * top_k, n_exp)
+    pos_in_expert = (jnp.cumsum(flat, axis=0) - flat).reshape(T, top_k, n_exp)
+    pos = jnp.sum(pos_in_expert * onehot, axis=-1)               # [T,k]
+    keep = pos < cap
+    gates = top_p * keep                                          # dropped ⇒ 0
+
+    # dispatch [T, n_exp, cap] one-hot combine weights
+    pos_oh = jax.nn.one_hot(jnp.where(keep, pos, cap), cap + 1,
+                            dtype=x.dtype)[..., :cap]              # [T,k,cap]
+    disp = jnp.einsum("tke,tkc->tec", onehot.astype(x.dtype), pos_oh)
+    comb = jnp.einsum("tke,tkc,tk->tec", onehot.astype(jnp.float32),
+                      pos_oh.astype(jnp.float32), gates).astype(x.dtype)
+
+    xe = jnp.einsum("tec,td->ecd", disp, x)                        # [n_exp,cap,E]
+    g = jnp.einsum("ecd,edf->ecf", xe, w_gate)
+    u = jnp.einsum("ecd,edf->ecf", xe, w_up)
+    h = (jax.nn.silu(g.astype(jnp.float32)) * u.astype(jnp.float32)).astype(x.dtype)
+    ye = jnp.einsum("ecf,efd->ecd", h, w_down)                     # [n_exp,cap,E]
+    return jnp.einsum("tec,ecd->td", comb, ye).astype(x.dtype)

@@ -108,7 +108,9 @@ def pallas_paged_attention(
     G = H // K
     scale = scale if scale is not None else D ** -0.5
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+        from ..utils import is_tpu_backend
+
+        interpret = not is_tpu_backend()
 
     # fold queries: rows laid out [T, K, G] so a row's kv head is
     # (row // G) % K — matches the kernel's masking arithmetic.

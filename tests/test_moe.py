@@ -1,0 +1,88 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deepsearch_tts_tpu.models.qwen3_moe import (
+    QWEN3_MOE_CONFIGS,
+    forward,
+    init_params,
+)
+from deepsearch_tts_tpu.ops.moe import moe_capacity, moe_ragged, route_topk
+
+CFG = QWEN3_MOE_CONFIGS["qwen3-moe-test"]
+
+
+def _moe_weights(key, E=32, NE=4, F=48):
+    ks = jax.random.split(key, 4)
+    mk = lambda k, s: jax.random.normal(k, s, jnp.float32).astype(jnp.bfloat16) * 0.05
+    return (mk(ks[0], (E, NE)), mk(ks[1], (NE, E, F)), mk(ks[2], (NE, E, F)),
+            mk(ks[3], (NE, F, E)))
+
+
+def test_route_topk_normalized():
+    logits = jax.random.normal(jax.random.PRNGKey(0), (6, 8))
+    p, e = route_topk(logits, 3, norm_topk_prob=True)
+    np.testing.assert_allclose(np.asarray(jnp.sum(p, axis=-1)), 1.0, rtol=1e-5)
+    assert e.shape == (6, 3)
+
+
+def test_ragged_matches_capacity():
+    """The two dispatch strategies must agree when capacity is unbounded."""
+    key = jax.random.PRNGKey(1)
+    router, wg, wu, wd = _moe_weights(key)
+    x = jax.random.normal(jax.random.PRNGKey(2), (16, 32), jnp.float32).astype(jnp.bfloat16)
+    y1 = moe_ragged(x, router, wg, wu, wd, top_k=2)
+    y2 = moe_capacity(x, router, wg, wu, wd, top_k=2, capacity_factor=8.0)
+    np.testing.assert_allclose(np.asarray(y1, np.float32), np.asarray(y2, np.float32),
+                               rtol=5e-2, atol=5e-2)
+
+
+def test_capacity_drops_overflow():
+    """With capacity 1 token per expert, most assignments drop — output is
+    attenuated but finite."""
+    key = jax.random.PRNGKey(3)
+    router, wg, wu, wd = _moe_weights(key)
+    x = jax.random.normal(jax.random.PRNGKey(4), (16, 32), jnp.float32).astype(jnp.bfloat16)
+    y = moe_capacity(x, router, wg, wu, wd, top_k=2, capacity_factor=0.1)
+    assert bool(jnp.isfinite(y.astype(jnp.float32)).all())
+
+
+def test_moe_forward_train():
+    params = init_params(CFG, jax.random.PRNGKey(0))
+    tokens = jnp.arange(10, dtype=jnp.int32).reshape(2, 5)
+    pos = jnp.tile(jnp.arange(5, dtype=jnp.int32), (2, 1))
+    logits, cache = forward(params, CFG, tokens, pos)
+    assert logits.shape == (2, 5, CFG.vocab_size)
+    assert cache is None
+    assert bool(jnp.isfinite(logits).all())
+
+
+def test_moe_paged_matches_full():
+    from deepsearch_tts_tpu.engine.kvcache import PageAllocator, init_kv_pages
+
+    params = init_params(CFG, jax.random.PRNGKey(0))
+    B, T, PS, NP = 1, 6, 4, 16
+    tokens = jax.random.randint(jax.random.PRNGKey(5), (B, T), 0, CFG.vocab_size, jnp.int32)
+    pos = jnp.tile(jnp.arange(T, dtype=jnp.int32), (B, 1))
+    full, _ = forward(params, CFG, tokens, pos)
+
+    k_pages, v_pages = init_kv_pages(CFG.n_layers, NP, PS, CFG.n_kv_heads, CFG.head_dim)
+    alloc = PageAllocator(NP, PS)
+    table = np.zeros((B, 4), np.int32)
+    pages = alloc.alloc(2)
+    table[0, :2] = pages
+    paged, _ = forward(params, CFG, tokens, pos, k_pages=k_pages, v_pages=v_pages,
+                       page_table=jnp.asarray(table),
+                       seq_lens=jnp.full((B,), T, jnp.int32))
+    np.testing.assert_allclose(np.asarray(full, np.float32),
+                               np.asarray(paged, np.float32), rtol=5e-2, atol=6e-2)
+
+
+def test_moe_registry():
+    from deepsearch_tts_tpu.models import get_model
+
+    fam = get_model("qwen3-235b-a22b")
+    assert fam.config.n_experts == 128 and fam.config.top_k == 8
+    axes = fam.logical_axes()
+    assert axes["layers"]["w_gate"] == ("layer", "expert", "embed", "expert_mlp")
