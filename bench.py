@@ -66,11 +66,16 @@ def main():
     PROMPT, DECODE = 128, 128
     CHUNK = 16 if on_tpu else 4
 
+    from deepsearch_tts_tpu.engine.weights import fast_random_params
+
+    t_init = time.monotonic()
+    params = fast_random_params(cfg, seed=0)   # host init: one bulk transfer
     engine = Engine(
-        "bench-qwen3", ByteTokenizer(),
+        "bench-qwen3", ByteTokenizer(), params=params,
         max_slots=B, page_size=64, n_pages=B * 8 + 1, max_seq_len=512,
         decode_chunk_len=CHUNK, seed=0, enable_prefix_cache=False,
     )
+    init_s = time.monotonic() - t_init
 
     import numpy as np
 
@@ -115,6 +120,7 @@ def main():
             "model_params_M": round(pbytes / 2 / 1e6, 1),
             "roofline_tok_s": round(roofline_tps, 1),
             "wall_s": round(wall, 2),
+            "init_s": round(init_s, 2),
             "e2e_tok_s": round(total_decoded / wall, 2),
             "device": str(jax.devices()[0]),
             "attn_impl": engine.attn_impl,

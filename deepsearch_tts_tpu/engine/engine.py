@@ -56,6 +56,7 @@ class GenerationRequest:
     top_p: float = 0.8
     min_p: float = 0.05
     repetition_penalty: float = 1.05
+    min_tokens: int = 0            # logit-level budget forcing: suppress EOS
     stop: tuple[str, ...] = ()
     include_stop_str: bool = False
     request_id: str = field(default_factory=lambda: uuid.uuid4().hex[:16])
@@ -166,6 +167,8 @@ class Engine:
             "min_p": np.full((B,), 0.05, np.float32),
             "repetition_penalty": np.full((B,), 1.05, np.float32),
         }
+        self.min_tokens = np.zeros((B,), np.int32)
+        self.prompt_lens = np.zeros((B,), np.int32)
         self.rng = jax.random.PRNGKey(seed)
         self.step_counter = 0
 
@@ -191,16 +194,21 @@ class Engine:
         cfg, fwd = self.cfg, self.forward
         chunk = self.decode_chunk_len
 
+        eos_id = self.tokenizer.eos_id if self.tokenizer.eos_id is not None else -1
+
         @partial(jax.jit, donate_argnums=(0, 1, 4))
         def decode_chunk(k_pages, v_pages, params, page_tables, seen,
-                         last_tok, seq_lens, active, samp, key):
-            sp = SamplingParams(
-                samp["temperature"], samp["top_k"], samp["top_p"],
-                samp["min_p"], samp["repetition_penalty"],
-            )
-
+                         last_tok, seq_lens, active, samp, key,
+                         min_tokens, prompt_lens):
             def step(carry, step_key):
                 kp, vp, last, lens, seen = carry
+                sp = SamplingParams(
+                    samp["temperature"], samp["top_k"], samp["top_p"],
+                    samp["min_p"], samp["repetition_penalty"],
+                    min_tokens=min_tokens,
+                    tokens_generated=lens - prompt_lens + 1,
+                    eos_id=eos_id,
+                )
                 pos = jnp.where(active, lens, -1)[:, None]
                 logits, (kp, vp) = fwd(
                     params, cfg, last[:, None], pos,
@@ -397,11 +405,17 @@ class Engine:
                      ("top_p", req.top_p), ("min_p", req.min_p),
                      ("repetition_penalty", req.repetition_penalty)):
             self.samp_host[k][b] = v
+        self.min_tokens[b] = req.min_tokens
+        self.prompt_lens[b] = len(prompt)
 
         self.rng, sk = jax.random.split(self.rng)
-        sp1 = SamplingParams(*(jnp.asarray(self.samp_host[k][b : b + 1]) for k in
-                               ("temperature", "top_k", "top_p", "min_p",
-                                "repetition_penalty")))
+        sp1 = SamplingParams(
+            *(jnp.asarray(self.samp_host[k][b : b + 1]) for k in
+              ("temperature", "top_k", "top_p", "min_p", "repetition_penalty")),
+            min_tokens=jnp.asarray(self.min_tokens[b : b + 1]),
+            tokens_generated=jnp.zeros((1,), jnp.int32),
+            eos_id=self.tokenizer.eos_id if self.tokenizer.eos_id is not None else -1,
+        )
         first = sample(logits, sp1, self.seen[b : b + 1], sk)
         first_tok = int(first[0])
         self.seen = self.seen.at[b, first_tok].set(True)
@@ -451,6 +465,7 @@ class Engine:
             jnp.asarray(self.page_tables), self.seen,
             jnp.asarray(self.last_tok), jnp.asarray(self.seq_lens),
             jnp.asarray(active), samp, key,
+            jnp.asarray(self.min_tokens), jnp.asarray(self.prompt_lens),
         )
         toks_np = np.asarray(toks)
         self.last_tok = np.array(last)   # copies: jax buffers are read-only

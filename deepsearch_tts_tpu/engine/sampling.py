@@ -28,6 +28,12 @@ class SamplingParams(NamedTuple):
     top_p: jax.Array              # 1.0 ⇒ disabled
     min_p: jax.Array              # 0.0 ⇒ disabled
     repetition_penalty: jax.Array  # 1.0 ⇒ disabled
+    # logit-level sequential budget forcing (SURVEY.md §7 stage 7): suppress
+    # EOS until the slot has produced min_tokens, forcing continued reasoning
+    # on-device instead of a re-prompt round trip.
+    min_tokens: jax.Array | None = None        # [B] int32; 0 ⇒ disabled
+    tokens_generated: jax.Array | None = None  # [B] int32 running count
+    eos_id: int = -1
 
     @staticmethod
     def make(batch: int, temperature=0.7, top_k=20, top_p=0.8, min_p=0.05,
@@ -88,6 +94,10 @@ def sample(
     """Draw next tokens [B] int32. temperature<=0 rows decode greedily."""
     logits = logits.astype(jnp.float32)
     logits = apply_repetition_penalty(logits, seen, params.repetition_penalty)
+    if params.min_tokens is not None and params.eos_id >= 0:
+        suppress = params.tokens_generated < params.min_tokens   # [B]
+        logits = logits.at[:, params.eos_id].add(
+            jnp.where(suppress, NEG_INF, 0.0))
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
     temp = jnp.maximum(params.temperature, 1e-6)[:, None]

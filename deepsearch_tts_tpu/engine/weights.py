@@ -88,6 +88,47 @@ def convert_qwen3_dense(raw: dict[str, np.ndarray], cfg) -> dict:
     return params
 
 
+def fast_random_params(model_name_or_cfg, seed: int = 0) -> dict:
+    """Host-side (numpy) random init with one bulk device transfer.
+
+    jax-random per-parameter init dispatches hundreds of tiny device
+    programs — pathological over the axon remote-compile tunnel (each tiny
+    op pays a round trip). For benchmarks/tests with random weights, build
+    everything in numpy and transfer once.
+    """
+    from ..models.registry import get_model
+
+    if isinstance(model_name_or_cfg, str):
+        cfg = get_model(model_name_or_cfg).config
+    else:
+        cfg = model_name_or_cfg
+    rng = np.random.default_rng(seed)
+    E, H, K, D, L = cfg.hidden, cfg.n_heads, cfg.n_kv_heads, cfg.head_dim, cfg.n_layers
+    F = cfg.intermediate
+
+    def mk(*shape, fan_in=None):
+        fan = fan_in if fan_in is not None else shape[-2] if len(shape) > 1 else shape[-1]
+        a = rng.standard_normal(shape, dtype=np.float32) * (fan ** -0.5)
+        return jnp.asarray(a, jnp.bfloat16)
+
+    params = {
+        "embed": mk(cfg.vocab_size, E, fan_in=E),
+        "final_norm": jnp.ones((E,), jnp.bfloat16),
+        "layers": {
+            "ln1": jnp.ones((L, E), jnp.bfloat16),
+            "ln2": jnp.ones((L, E), jnp.bfloat16),
+            "q_norm": jnp.ones((L, D), jnp.bfloat16),
+            "k_norm": jnp.ones((L, D), jnp.bfloat16),
+            "wq": mk(L, E, H * D), "wk": mk(L, E, K * D), "wv": mk(L, E, K * D),
+            "wo": mk(L, H * D, E), "w_gate": mk(L, E, F), "w_up": mk(L, E, F),
+            "w_down": mk(L, F, E),
+        },
+    }
+    if not cfg.tie_embeddings:
+        params["lm_head"] = mk(E, cfg.vocab_size)
+    return params
+
+
 def load_or_init_params(model_name: str, weights_path: str = "",
                         seed: int = 0) -> tuple[dict, str]:
     """Return (params, resolved model name). Random init when no weights."""
