@@ -62,9 +62,13 @@ def main():
     registry.register("bench-qwen3", cfg, qwen3.init_params, qwen3.forward,
                       lambda cfg=cfg: qwen3.logical_axes(cfg))
 
-    B = 16 if on_tpu else 2
-    PROMPT, DECODE = 128, 128
-    CHUNK = 16 if on_tpu else 4
+    import os
+
+    B = int(os.environ.get("BENCH_BATCH", 16 if on_tpu else 2))
+    PROMPT = int(os.environ.get("BENCH_PROMPT", 128))
+    DECODE = int(os.environ.get("BENCH_DECODE", 128))
+    CHUNK = int(os.environ.get("BENCH_CHUNK", 16 if on_tpu else 4))
+    ATTN = os.environ.get("BENCH_ATTN") or None
 
     from deepsearch_tts_tpu.engine.weights import fast_random_params
 
@@ -74,6 +78,7 @@ def main():
         "bench-qwen3", ByteTokenizer(), params=params,
         max_slots=B, page_size=64, n_pages=B * 8 + 1, max_seq_len=512,
         decode_chunk_len=CHUNK, seed=0, enable_prefix_cache=False,
+        attn_impl=ATTN,
     )
     init_s = time.monotonic() - t_init
 

@@ -37,6 +37,7 @@ class TrajectoryResult:
     confidence: float | None = None
     n_search_calls: int = 0
     error: str | None = None
+    selection: dict | None = None  # best-of-N selection trace
 
 
 @dataclass
@@ -85,6 +86,68 @@ class PolicyAgent:
             "role": "user", "content": P.get_budget_forcing_nudge(msc, "verify"),
         }]
         return await self._run_loop(messages, msc, mode="verify")
+
+    async def solve_best_of_n(
+        self, question: str, n: int = 4,
+        max_search_calls: int | None = None,
+        verify_search_calls: int | None = None,
+    ) -> TrajectoryResult:
+        """Parallel test-time scaling with asymmetric verification — the
+        paper's headline mode, first-class here (the reference realizes it as
+        separate solve runs + verify runs + offline selection; SURVEY.md §0).
+
+        N solver trajectories run concurrently (the TPU engine batches them
+        on-chip); unique candidate answers are then fact-checked by the
+        verifier, and the highest-confidence candidate wins (ties broken by
+        majority vote among the N samples).
+        """
+        import asyncio
+
+        solves = await asyncio.gather(
+            *(self.solve(question, max_search_calls) for _ in range(n)),
+            return_exceptions=True,
+        )
+        candidates: list[TrajectoryResult] = [
+            s for s in solves
+            if isinstance(s, TrajectoryResult) and not s.error and s.answer
+        ]
+        if not candidates:
+            first = next((s for s in solves if isinstance(s, TrajectoryResult)), None)
+            return first or TrajectoryResult(
+                answer="Error: all samples failed", messages=[], search_results=[],
+                error="all_samples_failed")
+
+        counts: dict[str, int] = {}
+        for c in candidates:
+            counts[c.answer] = counts.get(c.answer, 0) + 1
+        unique = list(counts)
+
+        vbudget = verify_search_calls or max(1, (max_search_calls or
+                                                 self.max_search_calls) // 2)
+        verifies = await asyncio.gather(
+            *(self.verify(question, ans, vbudget) for ans in unique),
+            return_exceptions=True,
+        )
+        conf: dict[str, float] = {}
+        for ans, v in zip(unique, verifies):
+            conf[ans] = v.confidence if isinstance(v, TrajectoryResult) and \
+                v.confidence is not None else 0.0
+
+        best_ans = max(unique, key=lambda a: (conf[a], counts[a]))
+        best = next(c for c in candidates if c.answer == best_ans)
+        return TrajectoryResult(
+            answer=best.answer, messages=best.messages,
+            search_results=best.search_results,
+            confidence=conf[best_ans],
+            n_search_calls=sum(c.n_search_calls for c in candidates),
+            selection={
+                "candidates": [
+                    {"answer": a, "votes": counts[a], "confidence": conf[a]}
+                    for a in unique
+                ],
+                "n_samples": n,
+            },
+        )
 
     # ------------------------------------------------------------------- loop
 

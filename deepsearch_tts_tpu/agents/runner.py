@@ -35,7 +35,8 @@ class BatchRunner:
     output_dir: str = "./outputs"
     concurrent_limit: int = 32
     save_interval: int = 5
-    mode: str = "solve"           # solve | verify | solve_budget_forcing | verify_budget_forcing
+    mode: str = "solve"  # solve | verify | *_budget_forcing | solve_bestofn
+    n_samples: int = 4   # best-of-N sample count
     stats: Any = None
 
     def result_path(self, timestamp: str | None = None) -> str:
@@ -71,6 +72,8 @@ class BatchRunner:
                     if tr.confidence is not None:
                         row["confidence_score"] = tr.confidence
                         row["verification_searches"] = tr.n_search_calls
+                    if tr.selection is not None:
+                        row["best_of_n"] = tr.selection
             except Exception as e:
                 row = dict(problem)
                 row["pred_answer"] = f"Error: {e}"
@@ -112,6 +115,8 @@ class BatchRunner:
             return await self.agent.solve_budget_forcing(problem.get("messages", []))
         if self.mode == "verify_budget_forcing":
             return await self.agent.verify_budget_forcing(problem.get("messages", []))
+        if self.mode == "solve_bestofn":
+            return await self.agent.solve_best_of_n(question, n=self.n_samples)
         raise ValueError(f"unknown mode {self.mode!r}")
 
     def run_sync(self, problems: Sequence[dict],

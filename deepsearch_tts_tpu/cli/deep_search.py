@@ -59,7 +59,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--concurrent_limit", type=int, default=32)
     p.add_argument("--mode", type=str, default="search",
                    choices=["search", "solve", "verify", "verify_budget_forcing",
-                            "solve_budget_forcing"])
+                            "solve_budget_forcing", "solve_bestofn"])
     p.add_argument("--price_config_path", type=str,
                    default="./model_config/aihubmix_price.json")
     # TPU-native additions
@@ -81,6 +81,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--engine_max_seq_len", type=int, default=8192)
     p.add_argument("--limit", type=int, default=0, help="max problems (0 = all)")
     p.add_argument("--verifier_version", type=int, default=0)
+    p.add_argument("--n_samples", type=int, default=4,
+                   help="samples for --mode solve_bestofn (parallel scaling)")
     return p
 
 
@@ -176,7 +178,7 @@ def main(argv=None):
     problems = load_dataset(args.input_path, limit=args.limit or None)
     runner = BatchRunner(agent, output_dir=args.output_dir,
                          concurrent_limit=args.concurrent_limit,
-                         mode=args.mode, stats=stats)
+                         mode=args.mode, n_samples=args.n_samples, stats=stats)
     results = runner.run_sync(problems)
 
     ts = time.strftime("%Y%m%d_%H%M%S")

@@ -186,6 +186,9 @@ class Engine:
             "preemptions": 0,
         }
 
+        from .profiling import SpanTimer
+
+        self.spans = SpanTimer()
         self._decode_fn = self._build_decode_fn()
 
     # ---------------------------------------------------------------- jit fns
@@ -460,6 +463,8 @@ class Engine:
             return
         self.rng, key = jax.random.split(self.rng)
         samp = {k: jnp.asarray(v) for k, v in self.samp_host.items()}
+        span = self.spans.span("decode_dispatch")
+        span.__enter__()
         (self.k_pages, self.v_pages, self.seen, last, lens, toks) = self._decode_fn(
             self.k_pages, self.v_pages, self.params,
             jnp.asarray(self.page_tables), self.seen,
@@ -468,6 +473,7 @@ class Engine:
             jnp.asarray(self.min_tokens), jnp.asarray(self.prompt_lens),
         )
         toks_np = np.asarray(toks)
+        span.__exit__(None, None, None)
         self.last_tok = np.array(last)   # copies: jax buffers are read-only
         self.seq_lens = np.array(lens)
 
@@ -528,6 +534,7 @@ class Engine:
 
     def telemetry(self) -> dict:
         out = dict(self.stats)
+        out["spans"] = self.spans.summary()
         if self.prefix_cache is not None:
             out["prefix_cache"] = self.prefix_cache.stats()
         if out["decode_time_s"] > 0:

