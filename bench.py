@@ -129,6 +129,7 @@ def main():
             "e2e_tok_s": round(total_decoded / wall, 2),
             "device": str(jax.devices()[0]),
             "attn_impl": engine.attn_impl,
+            "spans": st.get("spans", {}),
         },
     }))
 

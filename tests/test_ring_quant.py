@@ -1,0 +1,69 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deepsearch_tts_tpu.ops.attention import causal_attention
+from deepsearch_tts_tpu.ops.quant import (
+    int8_matmul,
+    maybe_int8_dot,
+    quantize_int8,
+    quantize_params,
+)
+from deepsearch_tts_tpu.ops.ring_attention import ring_attention
+
+
+def test_ring_attention_matches_full(mesh8):
+    B, T, H, K, D = 2, 32, 4, 2, 16  # T=32 over 4 tp shards → chunk 8
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(ks[0], (B, T, H, D)).astype(jnp.bfloat16)
+    k = jax.random.normal(ks[1], (B, T, K, D)).astype(jnp.bfloat16)
+    v = jax.random.normal(ks[2], (B, T, K, D)).astype(jnp.bfloat16)
+
+    ref = causal_attention(q, k, v)
+    with mesh8:
+        out = ring_attention(q, k, v, mesh=mesh8, axis="tp")
+    np.testing.assert_allclose(np.asarray(ref, np.float32),
+                               np.asarray(out, np.float32), rtol=5e-2, atol=5e-2)
+
+
+def test_quantize_int8_roundtrip():
+    w = jax.random.normal(jax.random.PRNGKey(1), (64, 32), jnp.float32)
+    q, s = quantize_int8(w, interpret=True)
+    assert q.dtype == jnp.int8 and s.shape == (1, 32)
+    deq = q.astype(jnp.float32) * s
+    err = np.abs(np.asarray(deq - w))
+    assert err.max() < np.abs(np.asarray(w)).max() / 100  # ~7-bit accuracy
+
+
+def test_int8_matmul_close_to_bf16():
+    x = jax.random.normal(jax.random.PRNGKey(2), (8, 64)).astype(jnp.bfloat16)
+    w = jax.random.normal(jax.random.PRNGKey(3), (64, 32), jnp.float32)
+    ref = jnp.dot(x.astype(jnp.float32), w)
+    q, s = quantize_int8(w, interpret=True)
+    out = int8_matmul(x, q, s)
+    rel = np.abs(np.asarray(out, np.float32) - np.asarray(ref)) / (
+        np.abs(np.asarray(ref)) + 1.0)
+    assert rel.mean() < 0.05
+
+
+def test_quantize_params_structure():
+    params = {
+        "embed": jnp.ones((16, 8), jnp.bfloat16),
+        "layers": {
+            "wq": jnp.ones((2, 8, 16), jnp.bfloat16),   # stacked layer dim
+            "ln1": jnp.ones((2, 8), jnp.bfloat16),
+        },
+    }
+    qp = quantize_params(params)
+    assert isinstance(qp["layers"]["wq"], dict)
+    assert qp["layers"]["wq"]["q"].dtype == jnp.int8
+    assert qp["layers"]["wq"]["q"].shape == (2, 8, 16)
+    assert qp["layers"]["wq"]["scales"].shape == (2, 1, 16)
+    assert isinstance(qp["layers"]["ln1"], jax.Array)   # norms untouched
+    assert isinstance(qp["embed"], jax.Array)           # embed untouched
+
+    x = jnp.ones((4, 8), jnp.bfloat16)
+    out = maybe_int8_dot(x, qp["layers"]["wq"]["q"] if False else
+                         {"q": qp["layers"]["wq"]["q"][0],
+                          "scales": qp["layers"]["wq"]["scales"][0]})
+    assert out.shape == (4, 16)
