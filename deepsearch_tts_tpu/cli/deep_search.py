@@ -121,9 +121,21 @@ def make_clients(args):
         n_pages=args.engine_pages, max_seq_len=args.engine_max_seq_len,
     )
     main = EngineClient(engine)
-    # aux model shares the engine in round 1 (co-serving separate aux weights
-    # on a second mesh slice is a scale-up-phase feature)
-    aux = EngineClient(engine)
+    if args.aux_model_name and args.aux_model_name != args.model_name:
+        # co-serve a distinct aux verifier/explorer model on the same chip(s):
+        # separate engine + KV pool, half the slot budget
+        aux_params, aux_name = load_or_init_params(
+            args.aux_model_name, getattr(args, "aux_weights_path", ""))
+        aux_engine = Engine(
+            aux_name, tok, params=aux_params,
+            max_slots=max(args.engine_max_slots // 2, 4),
+            page_size=args.engine_page_size,
+            n_pages=max(args.engine_pages // 2, 64),
+            max_seq_len=args.engine_max_seq_len,
+        )
+        aux = EngineClient(aux_engine)
+    else:
+        aux = EngineClient(engine)
     return main, aux, engine
 
 

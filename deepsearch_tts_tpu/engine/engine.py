@@ -87,6 +87,7 @@ class _Slot:
         self.cached_len = 0
         self.generated: list[int] = []
         self.stop: StopState | None = None
+        self.detok = None
         self.active = False
 
     def reset(self):
@@ -99,6 +100,7 @@ class _Slot:
         self.cached_len = 0
         self.generated = []
         self.stop = None
+        self.detok = None
         self.active = False
 
 
@@ -374,6 +376,9 @@ class Engine:
         eos_ids = tuple(i for i in (self.tokenizer.eos_id,) if i is not None)
         slot.stop = StopState(tuple(req.stop), eos_ids, req.max_tokens,
                               req.include_stop_str)
+        from .tokenizer import IncrementalDetokenizer
+
+        slot.detok = IncrementalDetokenizer(self.tokenizer)
 
         all_pages = shared + own
         b = slot.idx
@@ -434,7 +439,7 @@ class Engine:
             self._finish_slot(slot)
 
     def _record_token(self, slot: _Slot, tok: int):
-        piece = self.tokenizer.decode([tok])
+        piece = slot.detok.push(tok)
         slot.generated.append(tok)
         slot.stop.feed(tok, piece)
 

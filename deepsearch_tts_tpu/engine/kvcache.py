@@ -29,6 +29,35 @@ def init_kv_pages(
     return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
 
 
+def write_kv_flat(
+    k_flat: jax.Array,      # [L*N, ps, K, D] all layers' pools, flattened view
+    v_flat: jax.Array,
+    k_new: jax.Array,       # [B, T, K, D]
+    v_new: jax.Array,
+    positions: jax.Array,   # [B, T]; <0 ⇒ padding
+    table_l: jax.Array,     # [B, P] page ids ALREADY offset by layer*N
+) -> tuple[jax.Array, jax.Array]:
+    """Scatter a chunk's KV into the flattened all-layer pool.
+
+    Designed for use inside a scan-over-layers with the pools in the scan
+    *carry*: a single scatter into the carried buffer lowers to an in-place
+    update — no per-layer slicing or stacked-output copies of the pools
+    (which would move GBs per decode step).
+    """
+    LN, ps, K, D = k_flat.shape
+    pad = positions < 0
+    pos = jnp.maximum(positions, 0)
+    page_idx = jnp.take_along_axis(table_l, pos // ps, axis=1)
+    flat = page_idx * ps + pos % ps
+    flat = jnp.where(pad, 0, flat).reshape(-1)
+
+    kf = k_flat.reshape(LN * ps, K, D)
+    vf = v_flat.reshape(LN * ps, K, D)
+    kf = kf.at[flat].set(k_new.reshape(-1, K, D).astype(kf.dtype))
+    vf = vf.at[flat].set(v_new.reshape(-1, K, D).astype(vf.dtype))
+    return kf.reshape(LN, ps, K, D), vf.reshape(LN, ps, K, D)
+
+
 def write_kv_layer(
     k_pages_l: jax.Array,   # [N, ps, K, D] one layer's pool
     v_pages_l: jax.Array,

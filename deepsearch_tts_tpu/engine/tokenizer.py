@@ -110,6 +110,38 @@ def parse_tool_calls(text: str) -> tuple[str, list[dict]]:
     return content, calls
 
 
+class IncrementalDetokenizer:
+    """Streaming token→text with correct BPE/UTF-8 boundary handling.
+
+    Decoding tokens one at a time breaks multi-byte characters and
+    sentencepiece word boundaries; this re-decodes a small sliding window and
+    emits only the stable suffix delta (the standard streaming-detok trick).
+    """
+
+    CTX = 4  # emitted tokens re-decoded as context for BPE boundary effects
+
+    def __init__(self, tokenizer):
+        self.tk = tokenizer
+        self.ids: list[int] = []
+        self.text = ""
+        self._start = 0  # first id not yet emitted as text
+
+    def push(self, token_id: int) -> str:
+        self.ids.append(int(token_id))
+        pending = self.ids[self._start:]
+        cur = self.tk.decode(pending)
+        if cur.endswith("�"):
+            return ""  # incomplete UTF-8 sequence: hold until complete
+        # re-decode with a little emitted context to catch BPE boundary merges
+        ctx_start = max(0, self._start - self.CTX)
+        with_ctx = self.tk.decode(self.ids[ctx_start:])
+        ctx_only = self.tk.decode(self.ids[ctx_start:self._start])
+        piece = with_ctx[len(ctx_only):] if with_ctx.startswith(ctx_only) else cur
+        self._start = len(self.ids)
+        self.text += piece
+        return piece
+
+
 class ByteTokenizer:
     """UTF-8 byte tokenizer with a small special-token table.
 

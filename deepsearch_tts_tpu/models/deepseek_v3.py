@@ -298,7 +298,7 @@ def forward(
     impl: str = "xla",
 ):
     """Same serving/training contract as models/qwen3.forward."""
-    from ..engine.kvcache import write_kv_layer
+    from ..engine.kvcache import write_kv_flat
 
     serving = k_pages is not None
     x = jnp.take(params["embed"], tokens, axis=0)
@@ -308,19 +308,21 @@ def forward(
     KL = cfg.kv_lora_rank
     LD = cfg.first_k_dense
 
+    N = k_pages.shape[1] if serving else 0
+
     def make_body(mlp_fn, serving):
-        def body(x, xs):
+        def body(carry, lp):
             if serving:
-                lp, kp_l, vp_l = xs
+                x, kpf, vpf, layer = carry
             else:
-                lp = xs
+                x = carry
             h = rms_norm(x, lp["ln1"], cfg.rms_eps)
             q_eff, rows = _mla_qk(cfg, lp, h, cos, sin)
             if serving:
-                kw, vw = write_kv_layer(kp_l, vp_l, rows, rows, positions,
-                                        page_table)
+                table_l = page_table + layer * N
+                kpf, vpf = write_kv_flat(kpf, vpf, rows, rows, positions, table_l)
                 attn = attn_ops.paged_attention(
-                    q_eff, kw, kw, page_table, seq_lens,
+                    q_eff, kpf, kpf, table_l, seq_lens,
                     jnp.maximum(positions, 0), scale=scale, impl=impl,
                 )[..., :KL]
             else:
@@ -329,19 +331,21 @@ def forward(
             x = x + _mla_out(cfg, lp, attn, x.dtype)
             h2 = rms_norm(x, lp["ln2"], cfg.rms_eps)
             x = x + mlp_fn(lp, h2)
-            return x, ((kw, vw) if serving else None)
+            return ((x, kpf, vpf, layer + 1) if serving else x), None
         return body
 
     dense_body = make_body(lambda lp, h2: _dense_mlp(lp, h2), serving)
     moe_body = make_body(lambda lp, h2: _moe_v3(cfg, lp, h2), serving)
 
     if serving:
-        kd, km = k_pages[:LD], k_pages[LD:]
-        vd, vm = v_pages[:LD], v_pages[LD:]
-        x, (kd, vd) = jax.lax.scan(dense_body, x, (params["dense_layers"], kd, vd))
-        x, (km, vm) = jax.lax.scan(moe_body, x, (params["moe_layers"], km, vm))
-        k_pages = jnp.concatenate([kd, km], axis=0)
-        v_pages = jnp.concatenate([vd, vm], axis=0)
+        L = k_pages.shape[0]
+        kpf = k_pages.reshape((L * N,) + k_pages.shape[2:])
+        vpf = v_pages.reshape((L * N,) + v_pages.shape[2:])
+        carry = (x, kpf, vpf, jnp.zeros((), jnp.int32))
+        carry, _ = jax.lax.scan(dense_body, carry, params["dense_layers"])
+        (x, kpf, vpf, _), _ = jax.lax.scan(moe_body, carry, params["moe_layers"])
+        k_pages = kpf.reshape(k_pages.shape)
+        v_pages = vpf.reshape(v_pages.shape)
     else:
         x, _ = jax.lax.scan(dense_body, x, params["dense_layers"])
         x, _ = jax.lax.scan(moe_body, x, params["moe_layers"])

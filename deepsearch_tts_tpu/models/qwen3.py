@@ -167,7 +167,7 @@ def forward(
     Training mode (pages None): full causal attention, returns
     ``(logits [B,T,V], None)``.
     """
-    from ..engine.kvcache import write_kv_layer
+    from ..engine.kvcache import write_kv_flat
 
     serving = k_pages is not None
     x = jnp.take(params["embed"], tokens, axis=0)
@@ -176,13 +176,23 @@ def forward(
     lp_stack = params["layers"]
 
     if serving:
-        def body(x, xs):
-            lp, kp_l, vp_l = xs
+        # pools are carried through the layer scan as one flattened buffer
+        # and updated by in-place scatter — never sliced per layer or
+        # re-stacked as scan outputs (that would copy the whole cache every
+        # step; see engine docstring / kvcache.write_kv_flat)
+        L, N = k_pages.shape[0], k_pages.shape[1]
+        ps = k_pages.shape[2]
+        kpf = k_pages.reshape((L * N,) + k_pages.shape[2:])
+        vpf = v_pages.reshape((L * N,) + v_pages.shape[2:])
+
+        def body(carry, lp):
+            x, kpf, vpf, layer = carry
+            table_l = page_table + layer * N
 
             def attend(q, k, v):
-                kw, vw = write_kv_layer(kp_l, vp_l, k, v, positions, page_table)
+                kw, vw = write_kv_flat(kpf, vpf, k, v, positions, table_l)
                 out = attn_ops.paged_attention(
-                    q, kw, vw, page_table, seq_lens, jnp.maximum(positions, 0),
+                    q, kw, vw, table_l, seq_lens, jnp.maximum(positions, 0),
                     impl=impl,
                 )
                 return out, kw, vw
@@ -197,7 +207,7 @@ def forward(
             k = rms_norm(k, lp["k_norm"], cfg.rms_eps)
             q = apply_rope(q, cos, sin).astype(x.dtype)
             k = apply_rope(k, cos, sin).astype(x.dtype)
-            o, kw, vw = attend(q, k, v.astype(x.dtype))
+            o, kpf, vpf = attend(q, k, v.astype(x.dtype))
             o = jnp.dot(o.reshape(B, T, H * D), lp["wo"], preferred_element_type=jnp.bfloat16)
             x = x + o.astype(x.dtype)
             h = rms_norm(x, lp["ln2"], cfg.rms_eps)
@@ -206,9 +216,12 @@ def forward(
             mlp = jnp.dot(jax.nn.silu(g.astype(jnp.float32)).astype(u.dtype) * u,
                           lp["w_down"], preferred_element_type=jnp.bfloat16)
             x = x + mlp.astype(x.dtype)
-            return x, (kw, vw)
+            return (x, kpf, vpf, layer + 1), None
 
-        x, (k_pages, v_pages) = jax.lax.scan(body, x, (lp_stack, k_pages, v_pages))
+        (x, kpf, vpf, _), _ = jax.lax.scan(
+            body, (x, kpf, vpf, jnp.zeros((), jnp.int32)), lp_stack)
+        k_pages = kpf.reshape(k_pages.shape)
+        v_pages = vpf.reshape(v_pages.shape)
     else:
         def body(x, lp):
             def attend(q, k, v):

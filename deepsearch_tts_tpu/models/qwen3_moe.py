@@ -141,7 +141,7 @@ def forward(
     impl: str = "xla",
 ):
     """Same contract as models/qwen3.forward (serving + training modes)."""
-    from ..engine.kvcache import write_kv_layer
+    from ..engine.kvcache import write_kv_flat
 
     serving = k_pages is not None
     x = jnp.take(params["embed"], tokens, axis=0)
@@ -167,23 +167,32 @@ def forward(
         return x + o.astype(x.dtype), extra
 
     if serving:
-        def body(x, xs):
-            lp, kp_l, vp_l = xs
+        # pools carried flattened + scatter-updated in place (see qwen3.py)
+        L, N = k_pages.shape[0], k_pages.shape[1]
+        kpf = k_pages.reshape((L * N,) + k_pages.shape[2:])
+        vpf = v_pages.reshape((L * N,) + v_pages.shape[2:])
+
+        def body(carry, lp):
+            x, kpf, vpf, layer = carry
+            table_l = page_table + layer * N
 
             def attend(q, k, v):
-                kw, vw = write_kv_layer(kp_l, vp_l, k, v, positions, page_table)
+                kw, vw = write_kv_flat(kpf, vpf, k, v, positions, table_l)
                 out = attn_ops.paged_attention(
-                    q, kw, vw, page_table, seq_lens, jnp.maximum(positions, 0),
+                    q, kw, vw, table_l, seq_lens, jnp.maximum(positions, 0),
                     impl=impl,
                 )
                 return out, kw, vw
 
-            x, (kw, vw) = attn(lp, x, attend)
+            x, (kpf, vpf) = attn(lp, x, attend)
             h = rms_norm(x, lp["ln2"], cfg.rms_eps)
             x = x + _moe_block(cfg, lp, h)
-            return x, (kw, vw)
+            return (x, kpf, vpf, layer + 1), None
 
-        x, (k_pages, v_pages) = jax.lax.scan(body, x, (params["layers"], k_pages, v_pages))
+        (x, kpf, vpf, _), _ = jax.lax.scan(
+            body, (x, kpf, vpf, jnp.zeros((), jnp.int32)), params["layers"])
+        k_pages = kpf.reshape(k_pages.shape)
+        v_pages = vpf.reshape(v_pages.shape)
     else:
         def body(x, lp):
             def attend(q, k, v):
