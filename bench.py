@@ -69,6 +69,7 @@ def main():
     DECODE = int(os.environ.get("BENCH_DECODE", 128))
     CHUNK = int(os.environ.get("BENCH_CHUNK", 16 if on_tpu else 4))
     ATTN = os.environ.get("BENCH_ATTN") or None
+    PS = int(os.environ.get("BENCH_PS", 64))
 
     from deepsearch_tts_tpu.engine.weights import fast_random_params
 
@@ -76,7 +77,7 @@ def main():
     params = fast_random_params(cfg, seed=0)   # host init: one bulk transfer
     engine = Engine(
         "bench-qwen3", ByteTokenizer(), params=params,
-        max_slots=B, page_size=64, n_pages=B * 8 + 1, max_seq_len=512,
+        max_slots=B, page_size=PS, n_pages=B * (512 // PS) + 1, max_seq_len=512,
         decode_chunk_len=CHUNK, seed=0, enable_prefix_cache=False,
         attn_impl=ATTN,
     )

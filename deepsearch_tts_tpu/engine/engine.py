@@ -42,7 +42,6 @@ import numpy as np
 
 from ..models.registry import get_model
 from .kvcache import PageAllocator, init_kv_pages
-from .prefix_cache import PrefixCache
 from .sampling import SamplingParams, sample, update_seen
 from .stopping import StopState
 
@@ -59,6 +58,7 @@ class GenerationRequest:
     min_tokens: int = 0            # logit-level budget forcing: suppress EOS
     stop: tuple[str, ...] = ()
     include_stop_str: bool = False
+    on_delta: Any = None           # optional callable(str) for token streaming
     request_id: str = field(default_factory=lambda: uuid.uuid4().hex[:16])
 
 
@@ -441,7 +441,16 @@ class Engine:
     def _record_token(self, slot: _Slot, tok: int):
         piece = slot.detok.push(tok)
         slot.generated.append(tok)
+        before = len(slot.stop.text)
         slot.stop.feed(tok, piece)
+        cb = slot.req.on_delta if slot.req else None
+        if cb is not None:
+            emitted = slot.stop.text[before:]
+            if emitted:
+                try:
+                    cb(emitted)
+                except Exception:
+                    pass
 
     def _decode_step(self):
         t0 = time.monotonic()

@@ -38,6 +38,7 @@ def _chat_payload_to_request(engine: Engine, payload: dict) -> GenerationRequest
         top_p=float(payload.get("top_p", 0.8)),
         min_p=float(payload.get("min_p", 0.05)),
         repetition_penalty=float(payload.get("repetition_penalty", 1.05)),
+        min_tokens=int(payload.get("min_tokens", 0)),
         stop=tuple(stop),
         include_stop_str=bool(payload.get("include_stop_str_in_output", False)),
     )
@@ -149,6 +150,9 @@ class OpenAIServer:
                 })
                 return
             payload = json.loads(body or b"{}")
+            if payload.get("stream") and path.endswith("/chat/completions"):
+                await self._stream_chat(writer, payload)
+                return
             if path.endswith("/chat/completions"):
                 out = await _handle_chat(self.engine, payload)
             elif path.endswith("/completions"):
@@ -162,6 +166,53 @@ class OpenAIServer:
                 await self._respond(writer, 500, {"error": str(e)})
             except Exception:
                 pass
+
+    async def _stream_chat(self, writer: asyncio.StreamWriter, payload: dict):
+        """Server-sent-events streaming (OpenAI `stream: true` semantics)."""
+        loop = asyncio.get_running_loop()
+        q: asyncio.Queue = asyncio.Queue()
+        req = _chat_payload_to_request(self.engine, payload)
+        req.on_delta = lambda piece: loop.call_soon_threadsafe(q.put_nowait, piece)
+        cmpl_id = f"chatcmpl-{uuid.uuid4().hex[:20]}"
+        model = payload.get("model", "deepsearch-tts-tpu")
+
+        writer.write(
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/event-stream\r\n"
+            b"Cache-Control: no-cache\r\nConnection: close\r\n\r\n")
+        await writer.drain()
+
+        def chunk(delta: dict, finish=None):
+            obj = {"id": cmpl_id, "object": "chat.completion.chunk",
+                   "created": int(time.time()), "model": model,
+                   "choices": [{"index": 0, "delta": delta,
+                                "finish_reason": finish}]}
+            return f"data: {json.dumps(obj)}\n\n".encode()
+
+        writer.write(chunk({"role": "assistant", "content": ""}))
+        fut = self.engine.submit(req)
+        wrapped = asyncio.wrap_future(fut)
+        try:
+            while True:
+                getter = asyncio.ensure_future(q.get())
+                done, _ = await asyncio.wait(
+                    {getter, wrapped}, return_when=asyncio.FIRST_COMPLETED)
+                if getter in done:
+                    writer.write(chunk({"content": getter.result()}))
+                    await writer.drain()
+                    continue
+                getter.cancel()
+                res = wrapped.result()
+                # let pending call_soon_threadsafe enqueues land before draining
+                for _ in range(3):
+                    await asyncio.sleep(0)
+                while not q.empty():
+                    writer.write(chunk({"content": q.get_nowait()}))
+                writer.write(chunk({}, finish=res.finish_reason))
+                writer.write(b"data: [DONE]\n\n")
+                await writer.drain()
+                break
+        finally:
+            writer.close()
 
     async def start(self):
         self._server = await asyncio.start_server(self._handle, self.host, self.port)

@@ -130,8 +130,10 @@ class IncrementalDetokenizer:
         self.ids.append(int(token_id))
         pending = self.ids[self._start:]
         cur = self.tk.decode(pending)
-        if cur.endswith("�"):
-            return ""  # incomplete UTF-8 sequence: hold until complete
+        if cur.endswith("�") and len(pending) < 4:
+            # possibly incomplete UTF-8 sequence: hold briefly (a real
+            # sequence completes within 4 bytes; longer ⇒ genuinely invalid)
+            return ""
         # re-decode with a little emitted context to catch BPE boundary merges
         ctx_start = max(0, self._start - self.CTX)
         with_ctx = self.tk.decode(self.ids[ctx_start:])
@@ -179,14 +181,15 @@ class ByteTokenizer:
         buf = bytearray()
         for i in ids:
             i = int(i)
-            if i < 256:
-                buf.append(i)
-            else:
+            if i in self._id_to_sp:
                 if buf:
                     out.append(buf.decode("utf-8", errors="replace"))
                     buf = bytearray()
-                if i in self._id_to_sp:
-                    out.append(self._id_to_sp[i])
+                out.append(self._id_to_sp[i])
+            else:
+                # fold out-of-range ids onto bytes so decode is total (test
+                # models may have vocab larger than this tokenizer)
+                buf.append(i % 256)
         if buf:
             out.append(buf.decode("utf-8", errors="replace"))
         return "".join(out)
