@@ -431,7 +431,7 @@ class Engine:
         self.seq_lens[b] = len(prompt)
         self.last_tok[b] = first_tok
         slot.active = True
-        self._record_token(slot, first_tok)
+        self._process_chunk(slot, np.array([first_tok], np.int64))
         self.stats["requests"] += 1
         self.stats["prefill_tokens"] += T
         self.stats["prefill_time_s"] += time.monotonic() - t0
@@ -495,29 +495,59 @@ class Engine:
         for s in self.slots:
             if not s.active or not active[s.idx]:
                 continue
-            for j in range(self.decode_chunk_len):
-                tok = int(toks_np[s.idx, j])
-                self._record_token(s, tok)
-                n_new += 1
-                if s.stop.finished:
-                    # trim over-generated tokens: KV past the true end is
-                    # masked by seq_lens so no cleanup needed on device
-                    extra = self.decode_chunk_len - 1 - j
-                    self.seq_lens[s.idx] -= extra
-                    self._finish_slot(s)
-                    break
-            else:
-                if self.seq_lens[s.idx] + self.decode_chunk_len >= self.max_seq_len:
-                    self._finish_slot(s, reason="length")
+            consumed = self._process_chunk(s, toks_np[s.idx])
+            n_new += consumed
+            if s.stop.finished:
+                # trim over-generated tokens: KV past the true end is masked
+                # by seq_lens so no cleanup is needed on device
+                self.seq_lens[s.idx] -= self.decode_chunk_len - consumed
+                self._finish_slot(s)
+            elif self.seq_lens[s.idx] + self.decode_chunk_len >= self.max_seq_len:
+                self._finish_slot(s, reason="length")
         self.stats["decode_tokens"] += n_new
         self.stats["decode_steps"] += 1
         self.stats["decode_time_s"] += time.monotonic() - t0
+
+    def _process_chunk(self, s: _Slot, arr: np.ndarray) -> int:
+        """Fold one chunk of sampled tokens into slot state; returns tokens
+        consumed (including a terminating EOS).
+
+        Fast path (no custom stop strings, no streaming): pure numpy — no
+        per-token Python detokenization, which otherwise dominates host time
+        at high batch (text is decoded once at finish).
+        """
+        st = s.stop
+        if st.stop_sequences or (s.req and s.req.on_delta):
+            for j in range(len(arr)):
+                self._record_token(s, int(arr[j]))
+                if st.finished:
+                    return j + 1
+            return len(arr)
+
+        room = st.max_tokens - st.n_tokens
+        take = arr[: max(room, 0)]
+        if st.eos_ids:
+            hits = np.isin(take, np.asarray(st.eos_ids))
+            if hits.any():
+                cut = int(np.argmax(hits))
+                s.generated.extend(int(t) for t in take[:cut])
+                st.n_tokens += cut + 1
+                st.finished, st.finish_reason = True, "stop"
+                return cut + 1
+        s.generated.extend(int(t) for t in take)
+        st.n_tokens += len(take)
+        if st.n_tokens >= st.max_tokens:
+            st.finished, st.finish_reason = True, "length"
+        return len(take)
 
     def _finish_slot(self, slot: _Slot, reason: str | None = None):
         req, fut = slot.req, slot.future
         st = slot.stop
         finish = reason or st.finish_reason or "stop"
         gen_ids = list(slot.generated)
+        if not st.text and gen_ids and not st.stop_sequences:
+            # fast path defers detokenization to completion time
+            st.text = self.tokenizer.decode(gen_ids)
         # strip tokens beyond the stop point for the id list (text already cut)
         result = GenerationResult(
             request_id=req.request_id,

@@ -81,8 +81,10 @@ def sample(
     temp = jnp.maximum(params.temperature, 1e-6)[:, None]
     scaled = logits / temp
 
-    vals, idx = jax.lax.top_k(scaled, window)          # [B, W] sorted desc
-    greedy = idx[:, 0].astype(jnp.int32)
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # exact, cheap
+    # approx_max_k is the TPU-native top-k (much faster than lax.top_k's
+    # full sort); aggregate_to_topk gives exact descending order of the set
+    vals, idx = jax.lax.approx_max_k(scaled, window, recall_target=0.95)
     col = jax.lax.broadcasted_iota(jnp.int32, vals.shape, 1)
 
     keep = jnp.ones_like(vals, bool)
@@ -102,10 +104,16 @@ def sample(
     win_col = jnp.argmax(wvals + gumbel, axis=-1)
     windowed = jnp.take_along_axis(idx, win_col[:, None], axis=1)[:, 0].astype(jnp.int32)
 
-    # unfiltered rows: exact full-vocab gumbel-argmax (no sort)
+    # unfiltered rows need exact full-vocab gumbel-argmax; the 1M-element
+    # threefry draw is expensive, so only pay for it when such a row exists
     unfiltered = (params.top_k <= 0) & (params.top_p >= 1.0) & (params.min_p <= 0.0)
-    gfull = jax.random.gumbel(kfull, scaled.shape, jnp.float32)
-    full = jnp.argmax(scaled + gfull, axis=-1).astype(jnp.int32)
+    full = jax.lax.cond(
+        jnp.any(unfiltered & (params.temperature > 0.0)),
+        lambda: jnp.argmax(
+            scaled + jax.random.gumbel(kfull, scaled.shape, jnp.float32),
+            axis=-1).astype(jnp.int32),
+        lambda: windowed,
+    )
 
     sampled = jnp.where(unfiltered, full, windowed)
     return jnp.where(params.temperature <= 0.0, greedy, sampled)

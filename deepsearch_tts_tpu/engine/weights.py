@@ -129,6 +129,122 @@ def fast_random_params(model_name_or_cfg, seed: int = 0) -> dict:
     return params
 
 
+def convert_qwen3_moe(raw: dict[str, np.ndarray], cfg) -> dict:
+    """HF Qwen3-MoE checkpoint → stacked pytree (models/qwen3_moe.py)."""
+    L, NE = cfg.n_layers, cfg.n_experts
+    dt = jnp.bfloat16
+
+    def stack(fmt, transpose=True):
+        mats = [raw[fmt.format(i)] for i in range(L)]
+        return jnp.asarray(np.stack([m.T if transpose else m for m in mats]), dt)
+
+    def experts(fmt):
+        out = []
+        for i in range(L):
+            out.append(np.stack([raw[fmt.format(i, e)].T for e in range(NE)]))
+        return jnp.asarray(np.stack(out), dt)
+
+    params = {
+        "embed": jnp.asarray(raw["model.embed_tokens.weight"], dt),
+        "final_norm": jnp.asarray(raw["model.norm.weight"], dt),
+        "layers": {
+            "ln1": stack("model.layers.{}.input_layernorm.weight", False),
+            "ln2": stack("model.layers.{}.post_attention_layernorm.weight", False),
+            "q_norm": stack("model.layers.{}.self_attn.q_norm.weight", False),
+            "k_norm": stack("model.layers.{}.self_attn.k_norm.weight", False),
+            "wq": stack("model.layers.{}.self_attn.q_proj.weight"),
+            "wk": stack("model.layers.{}.self_attn.k_proj.weight"),
+            "wv": stack("model.layers.{}.self_attn.v_proj.weight"),
+            "wo": stack("model.layers.{}.self_attn.o_proj.weight"),
+            "router": stack("model.layers.{}.mlp.gate.weight"),
+            "w_gate": experts("model.layers.{}.mlp.experts.{}.gate_proj.weight"),
+            "w_up": experts("model.layers.{}.mlp.experts.{}.up_proj.weight"),
+            "w_down": experts("model.layers.{}.mlp.experts.{}.down_proj.weight"),
+        },
+    }
+    if "lm_head.weight" in raw and not cfg.tie_embeddings:
+        params["lm_head"] = jnp.asarray(raw["lm_head.weight"].T, dt)
+    return params
+
+
+def convert_deepseek_v3(raw: dict[str, np.ndarray], cfg) -> dict:
+    """HF DeepSeek-V3/Kimi-K2 checkpoint → two-stack MLA pytree.
+
+    Splits kv_b_proj into the key (absorbed) and value up-projections and
+    partitions layers into dense (first_k_dense) and MoE stacks.
+    """
+    dt = jnp.bfloat16
+    H = cfg.n_heads
+    QN, VD, KL = cfg.qk_nope_head_dim, cfg.v_head_dim, cfg.kv_lora_rank
+    LD, L = cfg.first_k_dense, cfg.n_layers
+    NE, SH = cfg.n_routed_experts, cfg.n_shared_experts
+
+    def g(i, name):
+        return raw[f"model.layers.{i}.{name}"]
+
+    def attn_stack(layers):
+        out = {k: [] for k in ("ln1", "ln2", "w_qa", "q_a_norm", "w_qb",
+                               "w_kva", "kv_a_norm", "w_kb", "w_vb", "wo")}
+        for i in layers:
+            out["ln1"].append(g(i, "input_layernorm.weight"))
+            out["ln2"].append(g(i, "post_attention_layernorm.weight"))
+            out["w_qa"].append(g(i, "self_attn.q_a_proj.weight").T)
+            out["q_a_norm"].append(g(i, "self_attn.q_a_layernorm.weight"))
+            out["w_qb"].append(g(i, "self_attn.q_b_proj.weight").T)
+            out["w_kva"].append(g(i, "self_attn.kv_a_proj_with_mqa.weight").T)
+            out["kv_a_norm"].append(g(i, "self_attn.kv_a_layernorm.weight"))
+            kvb = g(i, "self_attn.kv_b_proj.weight").T.reshape(KL, H, QN + VD)
+            out["w_kb"].append(kvb[:, :, :QN].reshape(KL, H * QN))
+            out["w_vb"].append(kvb[:, :, QN:].reshape(KL, H * VD))
+            out["wo"].append(g(i, "self_attn.o_proj.weight").T)
+        return {k: jnp.asarray(np.stack(v), dt) for k, v in out.items()}
+
+    dense = attn_stack(range(LD))
+    dense.update({
+        "d_gate": jnp.asarray(np.stack(
+            [g(i, "mlp.gate_proj.weight").T for i in range(LD)]), dt),
+        "d_up": jnp.asarray(np.stack(
+            [g(i, "mlp.up_proj.weight").T for i in range(LD)]), dt),
+        "d_down": jnp.asarray(np.stack(
+            [g(i, "mlp.down_proj.weight").T for i in range(LD)]), dt),
+    })
+    moe = attn_stack(range(LD, L))
+    moe.update({
+        "router": jnp.asarray(np.stack(
+            [g(i, "mlp.gate.weight").T for i in range(LD, L)]), dt),
+        "router_bias": jnp.asarray(np.stack(
+            [g(i, "mlp.gate.e_score_correction_bias") for i in range(LD, L)]),
+            jnp.float32),
+        "w_gate": jnp.asarray(np.stack(
+            [np.stack([g(i, f"mlp.experts.{e}.gate_proj.weight").T
+                       for e in range(NE)]) for i in range(LD, L)]), dt),
+        "w_up": jnp.asarray(np.stack(
+            [np.stack([g(i, f"mlp.experts.{e}.up_proj.weight").T
+                       for e in range(NE)]) for i in range(LD, L)]), dt),
+        "w_down": jnp.asarray(np.stack(
+            [np.stack([g(i, f"mlp.experts.{e}.down_proj.weight").T
+                       for e in range(NE)]) for i in range(LD, L)]), dt),
+        "s_gate": jnp.asarray(np.stack(
+            [g(i, "mlp.shared_experts.gate_proj.weight").T
+             for i in range(LD, L)]), dt),
+        "s_up": jnp.asarray(np.stack(
+            [g(i, "mlp.shared_experts.up_proj.weight").T
+             for i in range(LD, L)]), dt),
+        "s_down": jnp.asarray(np.stack(
+            [g(i, "mlp.shared_experts.down_proj.weight").T
+             for i in range(LD, L)]), dt),
+    })
+    params = {
+        "embed": jnp.asarray(raw["model.embed_tokens.weight"], dt),
+        "final_norm": jnp.asarray(raw["model.norm.weight"], dt),
+        "dense_layers": dense,
+        "moe_layers": moe,
+    }
+    if "lm_head.weight" in raw and not cfg.tie_embeddings:
+        params["lm_head"] = jnp.asarray(raw["lm_head.weight"].T, dt)
+    return params
+
+
 def load_or_init_params(model_name: str, weights_path: str = "",
                         seed: int = 0) -> tuple[dict, str]:
     """Return (params, resolved model name). Random init when no weights."""
@@ -137,5 +253,10 @@ def load_or_init_params(model_name: str, weights_path: str = "",
     fam = get_model(model_name)
     if weights_path:
         raw = _load_safetensors_dir(weights_path)
-        return convert_qwen3_dense(raw, fam.config), fam.name
+        cfg = fam.config
+        if hasattr(cfg, "kv_lora_rank"):
+            return convert_deepseek_v3(raw, cfg), fam.name
+        if hasattr(cfg, "n_experts"):
+            return convert_qwen3_moe(raw, cfg), fam.name
+        return convert_qwen3_dense(raw, cfg), fam.name
     return fam.init_params(fam.config, jax.random.PRNGKey(seed)), fam.name

@@ -1,0 +1,115 @@
+"""Decode-step decomposition microbenchmark (run on the TPU, solo).
+
+Times everything *inside one jitted lax.scan* (as the engine runs it), so
+per-dispatch tunnel latency (~4ms on the axon relay) doesn't confound the
+numbers. Prints one JSON line per measurement.
+"""
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deepsearch_tts_tpu.engine.kvcache import init_kv_pages
+from deepsearch_tts_tpu.engine.sampling import SamplingParams, sample, update_seen
+from deepsearch_tts_tpu.engine.weights import fast_random_params
+from deepsearch_tts_tpu.models.qwen3 import Qwen3Config, forward
+
+B = int(os.environ.get("MB_BATCH", 32))
+PS = int(os.environ.get("MB_PS", 64))
+ATTN = os.environ.get("MB_ATTN", "pallas")
+CTX = int(os.environ.get("MB_CTX", 192))
+STEPS = int(os.environ.get("MB_STEPS", 32))
+VOCAB = int(os.environ.get("MB_VOCAB", 32768))
+
+cfg = Qwen3Config(vocab_size=VOCAB, hidden=1024, n_layers=28, n_heads=16,
+                  n_kv_heads=8, head_dim=128, intermediate=3072,
+                  tie_embeddings=True)
+P = 512 // PS
+
+params = fast_random_params(cfg, seed=0)
+k_pages, v_pages = init_kv_pages(cfg.n_layers, B * P + 1, PS, cfg.n_kv_heads,
+                                 cfg.head_dim)
+tables = np.zeros((B, P), np.int32)
+pg = 1
+for b in range(B):
+    for i in range(P):
+        tables[b, i] = pg
+        pg += 1
+tables = jnp.asarray(tables)
+tok0 = jnp.ones((B,), jnp.int32)
+sp = SamplingParams.make(B)
+
+
+def timeit(name, fn, n=5, per=STEPS):
+    out = fn()
+    jax.block_until_ready(out)
+    t0 = time.monotonic()
+    for _ in range(n):
+        out = fn()
+    jax.block_until_ready(out)
+    dt = (time.monotonic() - t0) / n / per
+    print(json.dumps({"what": name, "ms_per_step": round(dt * 1000, 3),
+                      "toks_per_s": round(B / dt, 1)}), flush=True)
+
+
+# 1) forward-only scan (greedy argmax feed, no sampler)
+@jax.jit
+def scan_forward(params, kp, vp):
+    def step(carry, _):
+        tok, lens, kp, vp = carry
+        logits, (kp, vp) = forward(params, cfg, tok[:, None], lens[:, None],
+                                   k_pages=kp, v_pages=vp, page_table=tables,
+                                   seq_lens=lens + 1, impl=ATTN)
+        nxt = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
+        return (nxt, lens + 1, kp, vp), None
+    lens0 = jnp.full((B,), CTX, jnp.int32)
+    (tok, lens, kp, vp), _ = jax.lax.scan(step, (tok0, lens0, kp, vp),
+                                          None, length=STEPS)
+    return tok
+
+
+timeit(f"scan_forward[{ATTN}] ctx={CTX} ps={PS} V={VOCAB}",
+       lambda: scan_forward(params, k_pages, v_pages))
+
+# 2) sampling-only scan
+seen0 = jnp.zeros((B, cfg.vocab_size), bool)
+logits0 = jax.random.normal(jax.random.PRNGKey(0), (B, cfg.vocab_size), jnp.float32)
+
+
+@jax.jit
+def scan_sample(logits, seen, key):
+    def step(carry, k):
+        seen, tok = carry
+        nxt = sample(logits, sp, seen, k)
+        seen = update_seen(seen, nxt)
+        return (seen, nxt), None
+    keys = jax.random.split(key, STEPS)
+    (seen, tok), _ = jax.lax.scan(step, (seen, tok0), keys)
+    return tok
+
+
+timeit(f"scan_sampling V={VOCAB}",
+       lambda: scan_sample(logits0, seen0, jax.random.PRNGKey(1)))
+
+# 3) the engine's real decode chunk (forward + sample + seen)
+@jax.jit
+def scan_full(params, kp, vp, seen, key):
+    def step(carry, k):
+        tok, lens, kp, vp, seen = carry
+        logits, (kp, vp) = forward(params, cfg, tok[:, None], lens[:, None],
+                                   k_pages=kp, v_pages=vp, page_table=tables,
+                                   seq_lens=lens + 1, impl=ATTN)
+        nxt = sample(logits[:, 0], sp, seen, k)
+        seen = update_seen(seen, nxt)
+        return (nxt, lens + 1, kp, vp, seen), None
+    lens0 = jnp.full((B,), CTX, jnp.int32)
+    keys = jax.random.split(key, STEPS)
+    (tok, *_), _ = jax.lax.scan(step, (tok0, lens0, kp, vp, seen), keys)
+    return tok
+
+
+timeit(f"scan_full[{ATTN}]",
+       lambda: scan_full(params, k_pages, v_pages, seen0, jax.random.PRNGKey(2)))
