@@ -193,6 +193,18 @@ class Engine:
         self.spans = SpanTimer()
         self._decode_fn = self._build_decode_fn()
 
+        _eos = self.tokenizer.eos_id if self.tokenizer.eos_id is not None else -1
+
+        @jax.jit
+        def _sample1(logits, temperature, top_k, top_p, min_p, rep,
+                     min_toks, gen, seen, key):
+            sp = SamplingParams(temperature, top_k, top_p, min_p, rep,
+                                min_tokens=min_toks, tokens_generated=gen,
+                                eos_id=_eos)
+            return sample(logits, sp, seen, key)
+
+        self._sample_jit = _sample1
+
     # ---------------------------------------------------------------- jit fns
 
     def _build_decode_fn(self):
@@ -396,12 +408,16 @@ class Engine:
 
         prefill = self._prefill_fn(bucket)
         table = jnp.asarray(self.page_tables[b : b + 1])
+        span = self.spans.span("prefill_dispatch")
+        span.__enter__()
         self.k_pages, self.v_pages, logits = prefill(
             self.k_pages, self.v_pages, self.params,
             jnp.asarray(tokens), jnp.asarray(positions), table,
             jnp.array([len(prompt)], np.int32),
             jnp.array([T - 1], np.int32),
         )
+        logits.block_until_ready()
+        span.__exit__(None, None, None)
 
         # seed sampling state: mark prompt tokens seen, then sample first token
         seen_row = np.zeros((self.cfg.vocab_size,), bool)
@@ -417,14 +433,16 @@ class Engine:
         self.prompt_lens[b] = len(prompt)
 
         self.rng, sk = jax.random.split(self.rng)
-        sp1 = SamplingParams(
-            *(jnp.asarray(self.samp_host[k][b : b + 1]) for k in
-              ("temperature", "top_k", "top_p", "min_p", "repetition_penalty")),
-            min_tokens=jnp.asarray(self.min_tokens[b : b + 1]),
-            tokens_generated=jnp.zeros((1,), jnp.int32),
-            eos_id=self.tokenizer.eos_id if self.tokenizer.eos_id is not None else -1,
-        )
-        first = sample(logits, sp1, self.seen[b : b + 1], sk)
+        with self.spans.span("prefill_sample"):
+            first = self._sample_jit(
+                logits,
+                *(jnp.asarray(self.samp_host[k][b : b + 1]) for k in
+                  ("temperature", "top_k", "top_p", "min_p",
+                   "repetition_penalty")),
+                jnp.asarray(self.min_tokens[b : b + 1]),
+                jnp.zeros((1,), jnp.int32),
+                self.seen[b : b + 1], sk,
+            )
         first_tok = int(first[0])
         self.seen = self.seen.at[b, first_tok].set(True)
 

@@ -113,3 +113,29 @@ def scan_full(params, kp, vp, seen, key):
 
 timeit(f"scan_full[{ATTN}]",
        lambda: scan_full(params, k_pages, v_pages, seen0, jax.random.PRNGKey(2)))
+
+# 4) KV-write scatter cost in isolation: L scatters per simulated step
+from deepsearch_tts_tpu.engine.kvcache import write_kv_flat
+
+kn = jnp.ones((B, 1, cfg.n_kv_heads, cfg.head_dim), jnp.bfloat16)
+pos1 = jnp.full((B, 1), CTX, jnp.int32)
+
+
+@jax.jit
+def scan_scatter(kp, vp):
+    kpf = kp.reshape((-1,) + kp.shape[2:])
+    vpf = vp.reshape((-1,) + vp.shape[2:])
+
+    def step(carry, _):
+        kpf, vpf = carry
+        def layer(l, c):
+            kpf, vpf = c
+            return write_kv_flat(kpf, vpf, kn, kn, pos1,
+                                 tables + l * (B * P + 1))
+        kpf, vpf = jax.lax.fori_loop(0, cfg.n_layers, layer, (kpf, vpf))
+        return (kpf, vpf), None
+    (kpf, vpf), _ = jax.lax.scan(step, (kpf, vpf), None, length=STEPS)
+    return kpf[0, 0, 0, 0]
+
+
+timeit("scan_kv_scatter_only", lambda: scan_scatter(k_pages, v_pages))
