@@ -64,10 +64,10 @@ def main():
 
     import os
 
-    B = int(os.environ.get("BENCH_BATCH", 16 if on_tpu else 2))
+    B = int(os.environ.get("BENCH_BATCH", 64 if on_tpu else 2))
     PROMPT = int(os.environ.get("BENCH_PROMPT", 128))
     DECODE = int(os.environ.get("BENCH_DECODE", 128))
-    CHUNK = int(os.environ.get("BENCH_CHUNK", 16 if on_tpu else 4))
+    CHUNK = int(os.environ.get("BENCH_CHUNK", 32 if on_tpu else 4))
     ATTN = os.environ.get("BENCH_ATTN") or None
     PS = int(os.environ.get("BENCH_PS", 64))
 

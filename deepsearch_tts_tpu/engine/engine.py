@@ -336,9 +336,16 @@ class Engine:
             self.prefix_cache.evict_lru(needed)
         return self.allocator.can_alloc(needed)
 
-    def _admit(self) -> bool:
+    def _admit(self, max_admits: int = 8) -> bool:
+        """Admit up to max_admits queued requests (prefill inline).
+
+        Bounded so a deep queue can't starve in-flight decodes — the loop
+        alternates a few prefills with a decode chunk (chunked-prefill-style
+        fairness at request granularity).
+        """
         admitted = False
-        while True:
+        n = 0
+        while n < max_admits:
             slot = self._free_slot()
             if slot is None:
                 break
@@ -349,6 +356,7 @@ class Engine:
             try:
                 self._start_request(slot, req, fut)
                 admitted = True
+                n += 1
             except Exception as e:  # surface failures to the caller
                 slot.reset()
                 if not fut.done():
