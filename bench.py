@@ -54,11 +54,17 @@ def main():
     on_tpu = any("tpu" in d.device_kind.lower() or "TPU" in d.device_kind
                  for d in jax.devices())
 
-    # ~0.6B-param dense model (qwen3-0.6b geometry, trimmed vocab to keep
-    # random-init time reasonable; vocab affects only the lm_head read)
-    cfg = Qwen3Config(vocab_size=32768, hidden=1024, n_layers=28, n_heads=16,
-                      n_kv_heads=8, head_dim=128, intermediate=3072,
+    # ~1.5B-param dense model (qwen3-1.7b geometry, trimmed vocab: the vocab
+    # affects only the lm_head read). Decode on a model this size is honestly
+    # HBM-bound, so the roofline fraction reflects engine efficiency rather
+    # than fixed per-layer launch overhead.
+    cfg = Qwen3Config(vocab_size=32768, hidden=2048, n_layers=28, n_heads=16,
+                      n_kv_heads=8, head_dim=128, intermediate=6144,
                       tie_embeddings=True)
+    if not on_tpu:
+        cfg = Qwen3Config(vocab_size=2048, hidden=256, n_layers=4, n_heads=4,
+                          n_kv_heads=2, head_dim=64, intermediate=512,
+                          tie_embeddings=True)
     registry.register("bench-qwen3", cfg, qwen3.init_params, qwen3.forward,
                       lambda cfg=cfg: qwen3.logical_axes(cfg))
 

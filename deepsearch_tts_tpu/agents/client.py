@@ -112,7 +112,7 @@ class EngineClient:
         )
         ids = self.tokenizer.encode(prompt)
         fut = self.engine.submit(self._request(ids, opts))
-        res = await asyncio.wrap_future(_as_cf(fut))
+        res = await asyncio.wrap_future(fut)
         content, calls = parse_tool_calls(res.text)
         return ChatResponse(
             type="tool" if calls else "normal",
@@ -125,14 +125,9 @@ class EngineClient:
     async def complete(self, prompt: str, **opts) -> CompletionResponse:
         ids = self.tokenizer.encode(prompt)
         fut = self.engine.submit(self._request(ids, opts, stop=opts.pop("stop", ())))
-        res = await asyncio.wrap_future(_as_cf(fut))
+        res = await asyncio.wrap_future(fut)
         return CompletionResponse(res.text, res.finish_reason,
                                   Usage(res.prompt_tokens, res.completion_tokens))
-
-
-def _as_cf(fut):
-    """concurrent.futures.Future passthrough (engine already returns one)."""
-    return fut
 
 
 # ----------------------------------------------------------------------- http

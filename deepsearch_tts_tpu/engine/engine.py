@@ -118,6 +118,7 @@ class Engine:
         n_pages: int = 512,
         max_seq_len: int = 1024,
         decode_chunk_len: int = 8,
+        admit_batch: int | None = None,
         attn_impl: str | None = None,
         seed: int = 0,
         enable_prefix_cache: bool = True,
@@ -133,6 +134,9 @@ class Engine:
         self.max_seq_len = max_seq_len
         self.max_pages_per_seq = -(-max_seq_len // page_size)
         self.decode_chunk_len = decode_chunk_len
+        # admissions per scheduler iteration: default = all free slots
+        # (max throughput); lower for tighter decode latency under load
+        self.admit_batch = admit_batch if admit_batch is not None else max_slots
         if attn_impl is None:
             from ..utils import is_tpu_backend
 
@@ -336,13 +340,15 @@ class Engine:
             self.prefix_cache.evict_lru(needed)
         return self.allocator.can_alloc(needed)
 
-    def _admit(self, max_admits: int = 8) -> bool:
+    def _admit(self, max_admits: int | None = None) -> bool:
         """Admit up to max_admits queued requests (prefill inline).
 
         Bounded so a deep queue can't starve in-flight decodes — the loop
         alternates a few prefills with a decode chunk (chunked-prefill-style
         fairness at request granularity).
         """
+        if max_admits is None:
+            max_admits = self.admit_batch
         admitted = False
         n = 0
         while n < max_admits:
