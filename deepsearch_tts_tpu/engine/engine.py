@@ -250,7 +250,8 @@ class Engine:
 
         return decode_chunk
 
-    def _prefill_fn(self, bucket: int):
+    def _prefill_fn(self, bucket):
+        """Jitted batched prefill keyed by (token bucket, group size)."""
         if bucket in self._jit_cache:
             return self._jit_cache[bucket]
         cfg, fwd = self.cfg, self.forward
@@ -340,18 +341,21 @@ class Engine:
             self.prefix_cache.evict_lru(needed)
         return self.allocator.can_alloc(needed)
 
-    def _admit(self, max_admits: int | None = None) -> bool:
-        """Admit up to max_admits queued requests (prefill inline).
+    MAX_PREFILL_GROUP = 8  # prefill batch rows per dispatch (padded to pow2)
 
-        Bounded so a deep queue can't starve in-flight decodes — the loop
-        alternates a few prefills with a decode chunk (chunked-prefill-style
-        fairness at request granularity).
+    def _admit(self, max_admits: int | None = None) -> bool:
+        """Admit queued requests with *batched prefill*.
+
+        Requests are prepared host-side, grouped by prompt-length bucket, and
+        each group prefills in ONE batched forward — with 100 trajectories
+        arriving together (the reference's --concurrent_limit pattern), this
+        replaces 100 sequential prefill dispatches with ~a dozen. Bounded by
+        ``admit_batch`` per scheduler iteration for decode fairness.
         """
         if max_admits is None:
             max_admits = self.admit_batch
-        admitted = False
-        n = 0
-        while n < max_admits:
+        prepared = []
+        while len(prepared) < max_admits:
             slot = self._free_slot()
             if slot is None:
                 break
@@ -360,17 +364,26 @@ class Engine:
             except queue.Empty:
                 break
             try:
-                self._start_request(slot, req, fut)
-                admitted = True
-                n += 1
+                prepared.append(self._prepare_request(slot, req, fut))
             except Exception as e:  # surface failures to the caller
                 slot.reset()
                 if not fut.done():
                     fut.set_exception(e)
-        return admitted
+        if not prepared:
+            return False
 
-    def _start_request(self, slot: _Slot, req: GenerationRequest, fut: Future):
-        t0 = time.monotonic()
+        groups: dict[int, list] = {}
+        for p in prepared:
+            groups.setdefault(self._bucket(max(len(p["suffix"]), 1)), []).append(p)
+        for bucket, grp in sorted(groups.items()):
+            for i in range(0, len(grp), self.MAX_PREFILL_GROUP):
+                self._prefill_group(bucket, grp[i : i + self.MAX_PREFILL_GROUP])
+        return True
+
+    def _prepare_request(self, slot: _Slot, req: GenerationRequest,
+                         fut: Future) -> dict:
+        """Host-side admission: pages, prefix match, slot state. No device
+        work — the batched prefill happens in :meth:`_prefill_group`."""
         prompt = list(req.prompt_ids)
         if len(prompt) >= self.max_seq_len:
             prompt = prompt[-(self.max_seq_len - req.max_tokens - 1):]
@@ -382,8 +395,7 @@ class Engine:
         if self.prefix_cache is not None and len(prompt) > self.page_size:
             # never match the entire prompt — at least one token must be
             # prefilled to produce next-token logits
-            matchable = prompt[:-1]
-            shared, cached_len = self.prefix_cache.match(matchable)
+            shared, cached_len = self.prefix_cache.match(prompt[:-1])
 
         n_new_pages = -(-total_budget // self.page_size) - len(shared)
         if not self._ensure_pages(n_new_pages):
@@ -406,69 +418,96 @@ class Engine:
 
         slot.detok = IncrementalDetokenizer(self.tokenizer)
 
-        all_pages = shared + own
         b = slot.idx
+        all_pages = shared + own
         self.page_tables[b, :] = 0
         self.page_tables[b, : len(all_pages)] = all_pages
-
-        # prefill the un-cached suffix
-        suffix = prompt[cached_len:]
-        T = len(suffix)
-        bucket = self._bucket(T)
-        tokens = np.zeros((1, bucket), np.int32)
-        tokens[0, :T] = suffix
-        positions = np.full((1, bucket), -1, np.int32)
-        positions[0, :T] = np.arange(cached_len, cached_len + T)
-
-        prefill = self._prefill_fn(bucket)
-        table = jnp.asarray(self.page_tables[b : b + 1])
-        span = self.spans.span("prefill_dispatch")
-        span.__enter__()
-        self.k_pages, self.v_pages, logits = prefill(
-            self.k_pages, self.v_pages, self.params,
-            jnp.asarray(tokens), jnp.asarray(positions), table,
-            jnp.array([len(prompt)], np.int32),
-            jnp.array([T - 1], np.int32),
-        )
-        logits.block_until_ready()
-        span.__exit__(None, None, None)
-
-        # seed sampling state: mark prompt tokens seen, then sample first token
-        seen_row = np.zeros((self.cfg.vocab_size,), bool)
-        ids = np.asarray(prompt, np.int64)
-        seen_row[ids[ids < self.cfg.vocab_size]] = True
-        self.seen = self.seen.at[b].set(jnp.asarray(seen_row))
-
         for k, v in (("temperature", req.temperature), ("top_k", req.top_k),
                      ("top_p", req.top_p), ("min_p", req.min_p),
                      ("repetition_penalty", req.repetition_penalty)):
             self.samp_host[k][b] = v
         self.min_tokens[b] = req.min_tokens
         self.prompt_lens[b] = len(prompt)
+        return {"slot": slot, "req": req, "suffix": prompt[cached_len:],
+                "cached_len": cached_len, "prompt": prompt}
 
+    @staticmethod
+    def _pow2(n: int, cap: int) -> int:
+        g = 1
+        while g < n:
+            g *= 2
+        return min(g, cap)
+
+    def _prefill_group(self, bucket: int, grp: list[dict]) -> None:
+        """One batched prefill + batched first-token sample for a group of
+        same-bucket requests. Padding rows write to the null page."""
+        t0 = time.monotonic()
+        G = len(grp)
+        Gp = self._pow2(G, self.MAX_PREFILL_GROUP)
+
+        tokens = np.zeros((Gp, bucket), np.int32)
+        positions = np.full((Gp, bucket), -1, np.int32)
+        tables = np.zeros((Gp, self.max_pages_per_seq), np.int32)
+        seq_lens = np.zeros((Gp,), np.int32)
+        logits_idx = np.zeros((Gp,), np.int32)
+        rows = np.zeros((G,), np.int32)
+        seen_rows = np.zeros((G, self.cfg.vocab_size), bool)
+
+        for g, p in enumerate(grp):
+            slot, suffix, prompt = p["slot"], p["suffix"], p["prompt"]
+            T = len(suffix)
+            tokens[g, :T] = suffix
+            positions[g, :T] = np.arange(p["cached_len"], p["cached_len"] + T)
+            tables[g] = self.page_tables[slot.idx]
+            seq_lens[g] = len(prompt)
+            logits_idx[g] = max(T - 1, 0)
+            rows[g] = slot.idx
+            ids = np.asarray(prompt, np.int64)
+            seen_rows[g][ids[ids < self.cfg.vocab_size]] = True
+
+        prefill = self._prefill_fn((bucket, Gp))
+        span = self.spans.span("prefill_dispatch")
+        span.__enter__()
+        self.k_pages, self.v_pages, logits = prefill(
+            self.k_pages, self.v_pages, self.params,
+            jnp.asarray(tokens), jnp.asarray(positions), jnp.asarray(tables),
+            jnp.asarray(seq_lens), jnp.asarray(logits_idx),
+        )
+        span.__exit__(None, None, None)
+
+        # mark prompt tokens seen (one scatter), then sample the group
+        self.seen = self.seen.at[jnp.asarray(rows)].set(jnp.asarray(seen_rows))
         self.rng, sk = jax.random.split(self.rng)
         with self.spans.span("prefill_sample"):
+            pad = lambda a: np.concatenate([a, np.repeat(a[-1:], Gp - G)]) if Gp > G else a
             first = self._sample_jit(
                 logits,
-                *(jnp.asarray(self.samp_host[k][b : b + 1]) for k in
+                *(jnp.asarray(pad(self.samp_host[k][rows])) for k in
                   ("temperature", "top_k", "top_p", "min_p",
                    "repetition_penalty")),
-                jnp.asarray(self.min_tokens[b : b + 1]),
-                jnp.zeros((1,), jnp.int32),
-                self.seen[b : b + 1], sk,
+                jnp.asarray(pad(self.min_tokens[rows])),
+                jnp.zeros((Gp,), jnp.int32),
+                self.seen[jnp.asarray(np.concatenate([rows, np.repeat(rows[-1:], Gp - G)])
+                                      if Gp > G else rows)],
+                sk,
             )
-        first_tok = int(first[0])
-        self.seen = self.seen.at[b, first_tok].set(True)
+        first_np = np.asarray(first[:G])
+        self.seen = self.seen.at[jnp.asarray(rows), jnp.asarray(first_np)].set(True)
 
-        self.seq_lens[b] = len(prompt)
-        self.last_tok[b] = first_tok
-        slot.active = True
-        self._process_chunk(slot, np.array([first_tok], np.int64))
-        self.stats["requests"] += 1
-        self.stats["prefill_tokens"] += T
+        n_prefill = 0
+        for g, p in enumerate(grp):
+            slot, prompt = p["slot"], p["prompt"]
+            b = slot.idx
+            self.seq_lens[b] = len(prompt)
+            self.last_tok[b] = int(first_np[g])
+            slot.active = True
+            self._process_chunk(slot, first_np[g : g + 1].astype(np.int64))
+            n_prefill += len(p["suffix"])
+            self.stats["requests"] += 1
+            if slot.stop.finished or len(prompt) + len(slot.generated) >= self.max_seq_len:
+                self._finish_slot(slot)
+        self.stats["prefill_tokens"] += n_prefill
         self.stats["prefill_time_s"] += time.monotonic() - t0
-        if slot.stop.finished or len(prompt) + len(slot.generated) >= self.max_seq_len:
-            self._finish_slot(slot)
 
     def _record_token(self, slot: _Slot, tok: int):
         piece = slot.detok.push(tok)

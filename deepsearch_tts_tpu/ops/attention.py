@@ -71,7 +71,12 @@ def paged_attention(
     batches; the Pallas kernel streams pages HBM→VMEM instead.
     """
     if impl == "pallas":
-        from .paged_attention import pallas_paged_attention
+        from .paged_attention import pallas_paged_attention, pallas_paged_decode
+
+        if q.shape[1] == 1:  # decode: per-slot page-streaming kernel
+            return pallas_paged_decode(
+                q, k_pages, v_pages, page_table, seq_lens, scale=scale
+            )
         return pallas_paged_attention(
             q, k_pages, v_pages, page_table, seq_lens, q_positions, scale=scale
         )

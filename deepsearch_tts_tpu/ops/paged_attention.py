@@ -93,6 +93,128 @@ def _paged_kernel(
         o_ref[0] = (acc_ref[:] / denom).astype(o_ref.dtype)
 
 
+def _paged_decode_kernel(
+    page_tables_ref,  # scalar-prefetch [B*P]
+    seq_lens_ref,     # scalar-prefetch [B]
+    q_ref,            # [1, H, D] this slot's queries (T=1, heads folded)
+    k_hbm,            # [N, ps, K, D] full pool, stays in HBM
+    v_hbm,
+    o_ref,            # [1, H, D]
+    kbuf, vbuf,       # VMEM [2, ps, K, D] double buffers
+    sems,             # DMA semaphores [2, 2]
+    *, scale: float, page_size: int, n_kv: int, group: int, max_pages: int,
+):
+    """One grid step per batch row; pages stream HBM→VMEM with a two-slot
+    pipeline (start page p+1, wait page p, fold into online softmax). Cuts
+    grid overhead from B·P steps to B and skips unused pages entirely."""
+    b = pl.program_id(0)
+    ps = page_size
+    seq_len = seq_lens_ref[b]
+    n_used = (seq_len + ps - 1) // ps
+
+    @pl.when(n_used > 0)
+    def _():
+        pltpu.make_async_copy(k_hbm.at[page_tables_ref[b * max_pages]],
+                              kbuf.at[0], sems.at[0, 0]).start()
+        pltpu.make_async_copy(v_hbm.at[page_tables_ref[b * max_pages]],
+                              vbuf.at[0], sems.at[0, 1]).start()
+
+    q = q_ref[0].astype(jnp.float32) * scale          # [H, D]
+    rows = q.shape[0]
+
+    def body(p, carry):
+        m, l, acc = carry
+        slot = p % 2
+
+        @pl.when(p + 1 < n_used)
+        def _():
+            nxt = page_tables_ref[b * max_pages + p + 1]
+            pltpu.make_async_copy(k_hbm.at[nxt], kbuf.at[(p + 1) % 2],
+                                  sems.at[(p + 1) % 2, 0]).start()
+            pltpu.make_async_copy(v_hbm.at[nxt], vbuf.at[(p + 1) % 2],
+                                  sems.at[(p + 1) % 2, 1]).start()
+
+        page = page_tables_ref[b * max_pages + p]
+        pltpu.make_async_copy(k_hbm.at[page], kbuf.at[slot], sems.at[slot, 0]).wait()
+        pltpu.make_async_copy(v_hbm.at[page], vbuf.at[slot], sems.at[slot, 1]).wait()
+
+        k = kbuf[slot].astype(jnp.float32)            # [ps, K, D]
+        v = vbuf[slot].astype(jnp.float32)
+        kf = k.reshape(ps * n_kv, -1)
+        vf = v.reshape(ps * n_kv, -1)
+        s = jax.lax.dot_general(q, kf, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)  # [H, ps*K]
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        row_kv = (row_ids // group) % n_kv
+        col_kv = col_ids % n_kv
+        tok_pos = p * ps + col_ids // n_kv
+        mask = (col_kv == row_kv) & (tok_pos < seq_len)
+        s = jnp.where(mask, s, NEG_INF)
+
+        m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+        pexp = jnp.exp(s - m_new)
+        alpha = jnp.exp(m - m_new)
+        l = l * alpha + jnp.sum(pexp, axis=1, keepdims=True)
+        pv = jax.lax.dot_general(pexp, vf, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        return m_new, l, acc * alpha + pv
+
+    m0 = jnp.full((rows, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((rows, 1), jnp.float32)
+    a0 = jnp.zeros((rows, q.shape[1]), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, n_used, body, (m0, l0, a0))
+    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+def pallas_paged_decode(
+    q: jax.Array,            # [B, 1, H, D]
+    k_pages: jax.Array,      # [N, ps, K, D]
+    v_pages: jax.Array,
+    page_table: jax.Array,   # [B, P]
+    seq_lens: jax.Array,     # [B]
+    *, scale: float | None = None, interpret: bool | None = None,
+) -> jax.Array:
+    B, T, H, D = q.shape
+    assert T == 1
+    N, ps, K, _ = k_pages.shape
+    P = page_table.shape[1]
+    G = H // K
+    scale = scale if scale is not None else D ** -0.5
+    if interpret is None:
+        from ..utils import is_tpu_backend
+
+        interpret = not is_tpu_backend()
+
+    qf = q.reshape(B, 1, K, G, D).reshape(B, K * G, D)  # rows laid out [K, G]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, H, D), lambda b, *refs: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),   # pools stay in HBM
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, H, D), lambda b, *refs: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, ps, K, D), k_pages.dtype),
+            pltpu.VMEM((2, ps, K, D), v_pages.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_paged_decode_kernel, scale=scale, page_size=ps,
+                          n_kv=K, group=G, max_pages=P),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, H, D), q.dtype),
+        interpret=interpret,
+    )(page_table.reshape(-1), seq_lens, qf, k_pages, v_pages)
+    return out.reshape(B, 1, K, G, D).reshape(B, 1, H, D)
+
+
 def pallas_paged_attention(
     q: jax.Array,            # [B, T, H, D]
     k_pages: jax.Array,      # [N, ps, K, D]

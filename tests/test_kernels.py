@@ -84,3 +84,22 @@ def test_paged_kernel_resume_chunk():
     np.testing.assert_allclose(
         np.asarray(ref, np.float32), np.asarray(out, np.float32), rtol=5e-2, atol=5e-2
     )
+
+
+def test_paged_decode_v2_matches_xla():
+    """Per-slot page-streaming decode kernel (grid B, fori over pages)."""
+    from deepsearch_tts_tpu.ops.paged_attention import pallas_paged_decode
+
+    B, H, K, D, ps, NP = 3, 4, 2, 32, 4, 16
+    ks = jax.random.split(jax.random.PRNGKey(7), 4)
+    k_pages = _rand(ks[0], (NP, ps, K, D))
+    v_pages = _rand(ks[1], (NP, ps, K, D))
+    q = _rand(ks[2], (B, 1, H, D))
+    table = jnp.array([[3, 5, 0, 0], [7, 2, 9, 0], [1, 0, 0, 0]], jnp.int32)
+    seq_lens = jnp.array([6, 11, 2], jnp.int32)
+    q_pos = (seq_lens - 1)[:, None]
+
+    ref = paged_attention(q, k_pages, v_pages, table, seq_lens, q_pos, impl="xla")
+    out = pallas_paged_decode(q, k_pages, v_pages, table, seq_lens, interpret=True)
+    np.testing.assert_allclose(np.asarray(ref, np.float32),
+                               np.asarray(out, np.float32), rtol=5e-2, atol=5e-2)
