@@ -79,6 +79,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--engine_page_size", type=int, default=64)
     p.add_argument("--engine_pages", type=int, default=4096)
     p.add_argument("--engine_max_seq_len", type=int, default=8192)
+    p.add_argument("--engine_tp", type=int, default=0,
+                   help="tensor-parallel ways for the engine (0 = single chip)")
     p.add_argument("--limit", type=int, default=0, help="max problems (0 = all)")
     p.add_argument("--verifier_version", type=int, default=0)
     p.add_argument("--n_samples", type=int, default=4,
@@ -115,8 +117,16 @@ def make_clients(args):
     tok = (HFTokenizer(args.tokenizer_path) if args.tokenizer_path
            else ByteTokenizer())
     params, model_name = load_or_init_params(args.model_name, args.weights_path)
+    mesh = None
+    if args.engine_tp > 1:
+        from ..parallel.mesh import make_mesh
+
+        import jax
+
+        n = len(jax.devices())
+        mesh = make_mesh(dp=n // args.engine_tp, tp=args.engine_tp)
     engine = Engine(
-        model_name, tok, params=params,
+        model_name, tok, params=params, mesh=mesh,
         max_slots=args.engine_max_slots, page_size=args.engine_page_size,
         n_pages=args.engine_pages, max_seq_len=args.engine_max_seq_len,
     )

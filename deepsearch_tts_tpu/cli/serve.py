@@ -27,6 +27,8 @@ def main(argv=None):
     p.add_argument("--pages", type=int, default=4096)
     p.add_argument("--max_seq_len", type=int, default=8192)
     p.add_argument("--decode_chunk", type=int, default=8)
+    p.add_argument("--tp", type=int, default=0,
+                   help="tensor-parallel ways (0 = single chip)")
     args = p.parse_args(argv)
 
     from ..engine.engine import Engine
@@ -36,7 +38,15 @@ def main(argv=None):
 
     tok = HFTokenizer(args.tokenizer) if args.tokenizer else ByteTokenizer()
     params, name = load_or_init_params(args.model, args.weights)
-    engine = Engine(name, tok, params=params, max_slots=args.max_slots,
+    mesh = None
+    if args.tp > 1:
+        import jax
+
+        from ..parallel.mesh import make_mesh
+
+        mesh = make_mesh(dp=len(jax.devices()) // args.tp, tp=args.tp)
+    engine = Engine(name, tok, params=params, mesh=mesh,
+                    max_slots=args.max_slots,
                     page_size=args.page_size, n_pages=args.pages,
                     max_seq_len=args.max_seq_len,
                     decode_chunk_len=args.decode_chunk)

@@ -145,13 +145,27 @@ class Engine:
 
         if params is None:
             params = fam.init_params(self.cfg, jax.random.PRNGKey(seed))
-        self.params = params
 
         cfgv = self.cfg
         self.k_pages, self.v_pages = init_kv_pages(
             cfgv.n_layers, n_pages, page_size, cfgv.n_kv_heads, cfgv.head_dim,
             dtype=cfgv.jnp_dtype,
         )
+        if mesh is not None:
+            # multi-chip serving: params laid out per the rules table (TP over
+            # heads/mlp, EP over experts), KV pools sharded over the kv-head
+            # dim; XLA GSPMD inserts the collectives inside the jitted steps
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel.sharding import SERVING_RULES, shard_pytree
+
+            rules = rules or SERVING_RULES
+            params = shard_pytree(params, fam.logical_axes(), mesh, rules)
+            kv_spec = P(None, None, None, rules.axis("kv_heads"), None)
+            kv_sharding = NamedSharding(mesh, kv_spec)
+            self.k_pages = jax.device_put(self.k_pages, kv_sharding)
+            self.v_pages = jax.device_put(self.v_pages, kv_sharding)
+        self.params = params
         self.allocator = PageAllocator(n_pages, page_size)
         if enable_prefix_cache:
             from .prefix_cache import make_prefix_cache
