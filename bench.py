@@ -120,6 +120,10 @@ def main():
     step_bytes = pbytes + B * avg_ctx * kv_bytes_per_tok
     roofline_tps = B / (step_bytes / chip_bw_bytes())
     vs = decode_tps / roofline_tps
+    # measured-achievable bandwidth on this chip (streaming probe ≈560GB/s
+    # vs 819 spec through the axon virtualization) for context
+    achievable_tps = B / (step_bytes / (560e9 if on_tpu else chip_bw_bytes()))
+    vs_achievable = decode_tps / achievable_tps
 
     engine.shutdown()
     print(json.dumps({
@@ -131,6 +135,7 @@ def main():
             "batch": B, "prompt_len": PROMPT, "decode_len": DECODE,
             "model_params_M": round(pbytes / 2 / 1e6, 1),
             "roofline_tok_s": round(roofline_tps, 1),
+            "vs_achievable_bw": round(vs_achievable, 4),
             "wall_s": round(wall, 2),
             "init_s": round(init_s, 2),
             "e2e_tok_s": round(total_decoded / wall, 2),
