@@ -228,6 +228,7 @@ class Engine:
     def _build_decode_fn(self):
         cfg, fwd = self.cfg, self.forward
         chunk = self.decode_chunk_len
+        impl = self.attn_impl
 
         eos_id = self.tokenizer.eos_id if self.tokenizer.eos_id is not None else -1
 
@@ -249,6 +250,7 @@ class Engine:
                     params, cfg, last[:, None], pos,
                     k_pages=kp, v_pages=vp, page_table=page_tables,
                     seq_lens=lens + active.astype(jnp.int32),
+                    impl=impl,
                 )
                 nxt = sample(logits[:, 0], sp, seen, step_key)
                 nxt = jnp.where(active, nxt, last)
@@ -269,6 +271,7 @@ class Engine:
         if bucket in self._jit_cache:
             return self._jit_cache[bucket]
         cfg, fwd = self.cfg, self.forward
+        impl = self.attn_impl
 
         @partial(jax.jit, donate_argnums=(0, 1))
         def prefill(k_pages, v_pages, params, tokens, positions, page_table,
@@ -276,7 +279,7 @@ class Engine:
             logits, (k_pages, v_pages) = fwd(
                 params, cfg, tokens, positions,
                 k_pages=k_pages, v_pages=v_pages, page_table=page_table,
-                seq_lens=seq_lens, logits_indices=logits_idx,
+                seq_lens=seq_lens, logits_indices=logits_idx, impl=impl,
             )
             return k_pages, v_pages, logits[:, 0]
 
