@@ -38,6 +38,17 @@ def _extract_between(text: str, begin: str, end: str) -> str | None:
     return m.group(1).strip() if m else None
 
 
+def _repair_dropped_stop(chunk: str) -> str:
+    """Re-terminate in-band action tokens when a backend drops the stop
+    string it matched (reference: scripts/deep_search.py:752-811 repairs
+    <|end_search_query|>/<|end_click_link|> the same way)."""
+    for begin, end in ((P.BEGIN_SEARCH_QUERY, P.END_SEARCH_QUERY),
+                       (P.BEGIN_CLICK_LINK, P.END_CLICK_LINK)):
+        if begin in chunk and end not in chunk.split(begin)[-1]:
+            return chunk.rstrip() + end
+    return chunk
+
+
 async def run_explorer(
     search_query: str,
     search_intent: str,
@@ -73,7 +84,7 @@ async def run_explorer(
         )
         if stats is not None:
             stats.record_aux(resp.usage)
-        chunk = resp.text
+        chunk = _repair_dropped_stop(resp.text)
         output += chunk
 
         query = _extract_between(chunk, P.BEGIN_SEARCH_QUERY, P.END_SEARCH_QUERY)
