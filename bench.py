@@ -76,6 +76,7 @@ def main():
     CHUNK = int(os.environ.get("BENCH_CHUNK", 32 if on_tpu else 4))
     ATTN = os.environ.get("BENCH_ATTN") or None
     PS = int(os.environ.get("BENCH_PS", 64))
+    CACHE_MODE = os.environ.get("BENCH_CACHE", "slot")  # slot | paged
 
     from deepsearch_tts_tpu.engine.weights import fast_random_params
 
@@ -85,7 +86,7 @@ def main():
         "bench-qwen3", ByteTokenizer(), params=params,
         max_slots=B, page_size=PS, n_pages=B * (512 // PS) + 1, max_seq_len=512,
         decode_chunk_len=CHUNK, seed=0, enable_prefix_cache=False,
-        attn_impl=ATTN,
+        attn_impl=ATTN, cache_mode=CACHE_MODE,
     )
     init_s = time.monotonic() - t_init
 
@@ -141,6 +142,7 @@ def main():
             "e2e_tok_s": round(total_decoded / wall, 2),
             "device": str(jax.devices()[0]),
             "attn_impl": engine.attn_impl,
+            "cache_mode": engine.cache_mode,
             "spans": st.get("spans", {}),
         },
     }))

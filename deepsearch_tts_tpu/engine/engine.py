@@ -120,6 +120,7 @@ class Engine:
         decode_chunk_len: int = 8,
         admit_batch: int | None = None,
         attn_impl: str | None = None,
+        cache_mode: str = "paged",   # "paged" (prefix sharing) | "slot"
         seed: int = 0,
         enable_prefix_cache: bool = True,
     ):
@@ -149,6 +150,18 @@ class Engine:
 
         if params is None:
             params = fam.init_params(self.cfg, jax.random.PRNGKey(seed))
+
+        # slot mode: contiguous per-slot cache [L, B, max_seq_len, K, D].
+        # Attention reads a fusible dynamic slice (no gather copy) — faster
+        # decode; trades away page-level prefix sharing. paged: vLLM-style.
+        self.cache_mode = cache_mode
+        if cache_mode == "slot":
+            page_size = max_seq_len
+            n_pages = max_slots
+            self.page_size = page_size
+            self.n_pages = n_pages
+            self.max_pages_per_seq = 1
+            enable_prefix_cache = False
 
         cfgv = self.cfg
         self.k_pages, self.v_pages = init_kv_pages(
@@ -181,6 +194,8 @@ class Engine:
         B, V = max_slots, cfgv.vocab_size
         self.slots = [_Slot(i) for i in range(B)]
         self.page_tables = np.zeros((B, self.max_pages_per_seq), np.int32)
+        if cache_mode == "slot":
+            self.page_tables[:, 0] = np.arange(B)
         self.seq_lens = np.zeros((B,), np.int32)
         self.last_tok = np.zeros((B,), np.int32)
         self.seen = jnp.zeros((B, V), bool)
@@ -235,6 +250,7 @@ class Engine:
         impl = self.attn_impl
 
         eos_id = self.tokenizer.eos_id if self.tokenizer.eos_id is not None else -1
+        slot_mode = self.cache_mode == "slot"
 
         @partial(jax.jit, donate_argnums=(0, 1, 4))
         def decode_chunk(k_pages, v_pages, params, page_tables, seen,
@@ -250,11 +266,12 @@ class Engine:
                     eos_id=eos_id,
                 )
                 pos = jnp.where(active, lens, -1)[:, None]
+                fwd_kw = {"slot_decode": True} if slot_mode else {}
                 logits, (kp, vp) = fwd(
                     params, cfg, last[:, None], pos,
                     k_pages=kp, v_pages=vp, page_table=page_tables,
                     seq_lens=lens + active.astype(jnp.int32),
-                    impl=impl,
+                    impl=impl, **fwd_kw,
                 )
                 nxt = sample(logits[:, 0], sp, seen, step_key)
                 nxt = jnp.where(active, nxt, last)
@@ -276,6 +293,7 @@ class Engine:
             return self._jit_cache[bucket]
         cfg, fwd = self.cfg, self.forward
         impl = self.attn_impl
+        slot_mode = self.cache_mode == "slot"
 
         @partial(jax.jit, donate_argnums=(0, 1))
         def prefill(k_pages, v_pages, params, tokens, positions, page_table,
@@ -413,17 +431,19 @@ class Engine:
 
         shared: list[int] = []
         cached_len = 0
-        if self.prefix_cache is not None and len(prompt) > self.page_size:
-            # never match the entire prompt — at least one token must be
-            # prefilled to produce next-token logits
-            shared, cached_len = self.prefix_cache.match(prompt[:-1])
-
-        n_new_pages = -(-total_budget // self.page_size) - len(shared)
-        if not self._ensure_pages(n_new_pages):
-            if shared:
-                self.allocator.free(shared)
-            raise MemoryError("KV pages exhausted")
-        own = self.allocator.alloc(max(n_new_pages, 0))
+        if self.cache_mode == "slot":
+            own: list[int] = []     # slot mode: cache row == slot row
+        else:
+            if self.prefix_cache is not None and len(prompt) > self.page_size:
+                # never match the entire prompt — at least one token must be
+                # prefilled to produce next-token logits
+                shared, cached_len = self.prefix_cache.match(prompt[:-1])
+            n_new_pages = -(-total_budget // self.page_size) - len(shared)
+            if not self._ensure_pages(n_new_pages):
+                if shared:
+                    self.allocator.free(shared)
+                raise MemoryError("KV pages exhausted")
+            own = self.allocator.alloc(max(n_new_pages, 0))
 
         slot.req, slot.future = req, fut
         slot.shared_pages = shared
@@ -440,9 +460,12 @@ class Engine:
         slot.detok = IncrementalDetokenizer(self.tokenizer)
 
         b = slot.idx
-        all_pages = shared + own
-        self.page_tables[b, :] = 0
-        self.page_tables[b, : len(all_pages)] = all_pages
+        if self.cache_mode == "slot":
+            self.page_tables[b, 0] = b
+        else:
+            all_pages = shared + own
+            self.page_tables[b, :] = 0
+            self.page_tables[b, : len(all_pages)] = all_pages
         for k, v in (("temperature", req.temperature), ("top_k", req.top_k),
                      ("top_p", req.top_p), ("min_p", req.min_p),
                      ("repetition_penalty", req.repetition_penalty)):
@@ -547,9 +570,9 @@ class Engine:
     def _decode_step(self):
         t0 = time.monotonic()
         active = np.array([s.active for s in self.slots], bool)
-        # page headroom for the chunk
+        # page headroom for the chunk (paged mode only)
         for s in self.slots:
-            if not s.active:
+            if not s.active or self.cache_mode == "slot":
                 continue
             need_tokens = int(self.seq_lens[s.idx]) + self.decode_chunk_len + 1
             need_pages = -(-need_tokens // self.page_size)
@@ -651,7 +674,7 @@ class Engine:
             cached_prompt_tokens=slot.cached_len,
         )
         # insert finished sequence into the prefix cache (full pages only)
-        if self.prefix_cache is not None:
+        if self.prefix_cache is not None and self.cache_mode != "slot":
             full_tokens = list(slot.prompt_tokens) + gen_ids
             n_full = int(self.seq_lens[slot.idx]) // self.page_size
             all_pages = (slot.shared_pages + slot.pages)[:n_full]
@@ -659,7 +682,7 @@ class Engine:
                 self.prefix_cache.insert(full_tokens, all_pages)
         self.allocator.free(slot.shared_pages)
         self.allocator.free(slot.pages)
-        self.page_tables[slot.idx, :] = 0
+        self.page_tables[slot.idx, :] = (slot.idx if self.cache_mode == "slot" else 0)
         self.seq_lens[slot.idx] = 0
         slot_fut = fut
         slot.reset()

@@ -49,12 +49,14 @@ def write_kv_flat(
     pos = jnp.maximum(positions, 0)
     page_idx = jnp.take_along_axis(table_l, pos // ps, axis=1)
     flat = page_idx * ps + pos % ps
-    flat = jnp.where(pad, 0, flat).reshape(-1)
+    # padding scatters out of bounds and is DROPPED (slot mode has no spare
+    # null row; paged mode's page 0 stays untouched too)
+    flat = jnp.where(pad, LN * ps, flat).reshape(-1)
 
     kf = k_flat.reshape(LN * ps, K, D)
     vf = v_flat.reshape(LN * ps, K, D)
-    kf = kf.at[flat].set(k_new.reshape(-1, K, D).astype(kf.dtype))
-    vf = vf.at[flat].set(v_new.reshape(-1, K, D).astype(vf.dtype))
+    kf = kf.at[flat].set(k_new.reshape(-1, K, D).astype(kf.dtype), mode="drop")
+    vf = vf.at[flat].set(v_new.reshape(-1, K, D).astype(vf.dtype), mode="drop")
     return kf.reshape(LN, ps, K, D), vf.reshape(LN, ps, K, D)
 
 

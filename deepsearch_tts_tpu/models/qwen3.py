@@ -158,6 +158,7 @@ def forward(
     seq_lens: jax.Array | None = None,    # [B]
     logits_indices: jax.Array | None = None,  # [B] position in T to project
     impl: str = "xla",
+    slot_decode: bool = False,  # contiguous-slot decode: batch row == pool row
 ):
     """Run the decoder.
 
@@ -179,11 +180,17 @@ def forward(
         # pools are carried through the layer scan as one flattened buffer
         # and updated by in-place scatter — never sliced per layer or
         # re-stacked as scan outputs (that would copy the whole cache every
-        # step; see engine docstring / kvcache.write_kv_flat)
+        # step; see engine docstring / kvcache.write_kv_flat).
+        # slot_decode: the pool is [L, B, max_len, K, D] and batch row n IS
+        # pool row n, so attention reads a *dynamic slice* of the pool —
+        # fusible, no gather copy. (Prefill over a row subset still goes
+        # through the paged/gather path with per-slot tables.)
         L, N = k_pages.shape[0], k_pages.shape[1]
         ps = k_pages.shape[2]
         kpf = k_pages.reshape((L * N,) + k_pages.shape[2:])
         vpf = v_pages.reshape((L * N,) + v_pages.shape[2:])
+        if slot_decode:
+            page_table = jnp.arange(tokens.shape[0], dtype=jnp.int32)[:, None]
 
         def body(carry, lp):
             x, kpf, vpf, layer = carry
@@ -191,10 +198,16 @@ def forward(
 
             def attend(q, k, v):
                 kw, vw = write_kv_flat(kpf, vpf, k, v, positions, table_l)
-                out = attn_ops.paged_attention(
-                    q, kw, vw, table_l, seq_lens, jnp.maximum(positions, 0),
-                    impl=impl,
-                )
+                if slot_decode:
+                    k_ctx = jax.lax.dynamic_slice_in_dim(kw, layer * N, N, 0)
+                    v_ctx = jax.lax.dynamic_slice_in_dim(vw, layer * N, N, 0)
+                    out = attn_ops.masked_context_attention(
+                        q, k_ctx, v_ctx, seq_lens, jnp.maximum(positions, 0))
+                else:
+                    out = attn_ops.paged_attention(
+                        q, kw, vw, table_l, seq_lens, jnp.maximum(positions, 0),
+                        impl=impl,
+                    )
                 return out, kw, vw
 
             B, T, E = x.shape

@@ -92,7 +92,27 @@ def paged_attention(
 
     k_ctx = k_pages[page_table].reshape(B, S, K, D)
     v_ctx = v_pages[page_table].reshape(B, S, K, D)
+    return masked_context_attention(q, k_ctx, v_ctx, seq_lens, q_positions,
+                                    scale=scale)
 
+
+def masked_context_attention(
+    q: jax.Array,        # [B, T, H, D]
+    k_ctx: jax.Array,    # [B, S, K, D] each row's own context
+    v_ctx: jax.Array,
+    seq_lens: jax.Array,
+    q_positions: jax.Array,
+    *, scale: float | None = None,
+) -> jax.Array:
+    """Causal+length-masked GQA over per-row context buffers.
+
+    Used by the paged XLA path (after gather) and directly by the
+    contiguous-slot cache mode, where ``k_ctx`` is a dynamic slice of the
+    pool — a fusible op, so no materialized copy of the cache is ever made
+    (the gather in the paged path costs a full write+read of the context)."""
+    B, T, H, D = q.shape
+    S = k_ctx.shape[1]
+    scale = scale if scale is not None else D ** -0.5
     scores = _gqa_scores(q * scale, k_ctx)  # [B,K,G,T,S]
     ctx_pos = jax.lax.broadcasted_iota(jnp.int32, (B, S), 1)
     valid = ctx_pos < seq_lens[:, None]                      # within sequence

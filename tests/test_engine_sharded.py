@@ -36,3 +36,26 @@ def test_sharded_engine_matches_unsharded(mesh8):
 
     assert out.token_ids == ref.token_ids
     assert out.finish_reason == ref.finish_reason
+
+
+def test_slot_cache_mode_matches_paged():
+    """Contiguous-slot cache (slice attention, no gather) must reproduce the
+    paged engine's greedy outputs."""
+    cfg = QWEN3_CONFIGS["qwen3-test"]
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    tk = ByteTokenizer()
+    prompts = [list(range(10, 30)), list(range(50, 75))]
+
+    paged = Engine("qwen3-test", tk, params=params, max_slots=2, page_size=4,
+                   n_pages=128, max_seq_len=128, decode_chunk_len=4)
+    ref = [paged.generate(_req(p)) for p in prompts]
+    paged.shutdown()
+
+    slot = Engine("qwen3-test", tk, params=params, max_slots=2,
+                  max_seq_len=128, decode_chunk_len=4, cache_mode="slot")
+    out = [slot.generate(_req(p)) for p in prompts]
+    slot.shutdown()
+
+    for r, o in zip(ref, out):
+        assert o.token_ids == r.token_ids
+        assert o.finish_reason == r.finish_reason
