@@ -76,7 +76,7 @@ def main():
     CHUNK = int(os.environ.get("BENCH_CHUNK", 32 if on_tpu else 4))
     ATTN = os.environ.get("BENCH_ATTN") or None
     PS = int(os.environ.get("BENCH_PS", 64))
-    CACHE_MODE = os.environ.get("BENCH_CACHE", "slot")  # slot | paged
+    CACHE_MODE = os.environ.get("BENCH_CACHE", "paged")  # paged | slot
 
     from deepsearch_tts_tpu.engine.weights import fast_random_params
 
