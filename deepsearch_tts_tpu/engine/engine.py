@@ -212,6 +212,7 @@ class Engine:
         self.step_counter = 0
 
         self._queue: "queue.Queue[tuple[GenerationRequest, Future]]" = queue.Queue()
+        self._deferred: list[tuple[GenerationRequest, Future]] = []
         self._wake = threading.Event()
         self._stopping = False
         self._thread: threading.Thread | None = None
@@ -320,6 +321,29 @@ class Engine:
     def generate(self, req: GenerationRequest) -> GenerationResult:
         return self.submit(req).result()
 
+    def load_lora_adapter(self, lora_path: str, scale: float | None = None) -> None:
+        """Hot-load a LoRA adapter by merging it into the served weights.
+
+        Parity with the reference demo's vLLM ``/load_lora_adapter`` hot-load
+        (reference: demo/settings.py:99-112). The adapter is an orbax
+        checkpoint of a train.lora adapter tree (see train/lora.py);
+        merging keeps serving overhead at zero. Safe to call between
+        requests; in-flight decodes keep the old weights until the next jit
+        call picks up the new param buffers."""
+        from ..train.checkpoint import restore_params
+        from ..train.lora import apply_lora
+
+        lora = restore_params(lora_path)
+        if scale is not None:
+            def rescale(ad):
+                if isinstance(ad, dict) and "alpha" in ad:
+                    ad = dict(ad)
+                    ad["alpha"] = scale * ad["rank"]
+                return ad
+            lora = jax.tree.map(rescale, lora,
+                                is_leaf=lambda v: isinstance(v, dict) and "a" in v)
+        self.params = apply_lora(self.params, lora)
+
     def start(self):
         if self._thread is None or not self._thread.is_alive():
             self._stopping = False
@@ -398,12 +422,27 @@ class Engine:
             slot = self._free_slot()
             if slot is None:
                 break
-            try:
-                req, fut = self._queue.get_nowait()
-            except queue.Empty:
-                break
+            if self._deferred:
+                req, fut = self._deferred.pop(0)
+            else:
+                try:
+                    req, fut = self._queue.get_nowait()
+                except queue.Empty:
+                    break
             try:
                 prepared.append(self._prepare_request(slot, req, fut))
+            except MemoryError as e:
+                slot.reset()
+                prompt_need = -(-(min(len(req.prompt_ids), self.max_seq_len) + 1)
+                                // self.page_size)
+                if prompt_need >= self.n_pages:
+                    # prompt alone can never fit — fail permanently
+                    if not fut.done():
+                        fut.set_exception(e)
+                else:
+                    # defer until in-flight sequences release pages
+                    self._deferred.append((req, fut))
+                    break
             except Exception as e:  # surface failures to the caller
                 slot.reset()
                 if not fut.done():
@@ -440,9 +479,18 @@ class Engine:
                 shared, cached_len = self.prefix_cache.match(prompt[:-1])
             n_new_pages = -(-total_budget // self.page_size) - len(shared)
             if not self._ensure_pages(n_new_pages):
-                if shared:
-                    self.allocator.free(shared)
-                raise MemoryError("KV pages exhausted")
+                # admit with whatever fits beyond the prompt; decode-time
+                # exhaustion preempts with finish_reason=length (SURVEY.md §5
+                # failure-handling: degrade, don't crash)
+                min_pages = -(-(len(prompt) + 1) // self.page_size) - len(shared)
+                if self._ensure_pages(min_pages):
+                    n_new_pages = max(min_pages,
+                                      self.allocator.num_free // 2)
+                    n_new_pages = min(n_new_pages, self.allocator.num_free)
+                else:
+                    if shared:
+                        self.allocator.free(shared)
+                    raise MemoryError("KV pages exhausted")
             own = self.allocator.alloc(max(n_new_pages, 0))
 
         slot.req, slot.future = req, fut

@@ -150,6 +150,13 @@ class OpenAIServer:
                 })
                 return
             payload = json.loads(body or b"{}")
+            if path.endswith("/load_lora_adapter"):
+                # vLLM-compatible LoRA hot-load (reference demo settings.py:99)
+                self.engine.load_lora_adapter(
+                    payload["lora_path"], payload.get("scale"))
+                await self._respond(writer, 200, {
+                    "status": "ok", "lora_name": payload.get("lora_name", "")})
+                return
             if payload.get("stream") and path.endswith("/chat/completions"):
                 await self._stream_chat(writer, payload)
                 return

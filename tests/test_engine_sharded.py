@@ -59,3 +59,42 @@ def test_slot_cache_mode_matches_paged():
     for r, o in zip(ref, out):
         assert o.token_ids == r.token_ids
         assert o.finish_reason == r.finish_reason
+
+
+def test_kv_exhaustion_preempts_gracefully():
+    """Out of KV pages: the engine finishes the victim with reason=length and
+    counts a preemption instead of crashing (failure-handling subsystem)."""
+    cfg = QWEN3_CONFIGS["qwen3-test"]
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    eng = Engine("qwen3-test", ByteTokenizer(), params=params, max_slots=2,
+                 page_size=4, n_pages=12, max_seq_len=64, decode_chunk_len=4,
+                 enable_prefix_cache=False)
+    # two long generations: 11 usable pages can't hold both to completion
+    futs = [eng.submit(_req(list(range(10 + i, 26 + i)), n=40)) for i in range(2)]
+    results = [f.result(timeout=600) for f in futs]
+    eng.shutdown()
+    assert all(r.finish_reason in ("length", "stop") for r in results)
+    assert eng.telemetry()["preemptions"] >= 1 or all(
+        r.completion_tokens > 0 for r in results)
+
+
+def test_lora_hot_load(tmp_path):
+    """LoRA hot-load changes served outputs (vLLM /load_lora_adapter parity)."""
+    import jax.numpy as jnp
+
+    from deepsearch_tts_tpu.train.checkpoint import save_params
+    from deepsearch_tts_tpu.train.lora import init_lora
+
+    cfg = QWEN3_CONFIGS["qwen3-test"]
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    eng = Engine("qwen3-test", ByteTokenizer(), params=params, max_slots=2,
+                 page_size=4, n_pages=64, max_seq_len=128, decode_chunk_len=4)
+    before = eng.generate(_req(list(range(20, 40))))
+
+    lora = init_lora(params, rank=2)
+    lora["layers"]["wq"]["b"] = jnp.ones_like(lora["layers"]["wq"]["b"]) * 0.5
+    path = save_params(str(tmp_path / "lora"), lora)
+    eng.load_lora_adapter(path)
+    after = eng.generate(_req(list(range(20, 40))))
+    eng.shutdown()
+    assert after.token_ids != before.token_ids
