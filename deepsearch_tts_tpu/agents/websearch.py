@@ -38,6 +38,10 @@ class WebSearchTool:
         if query in self.search_cache:
             return self.search_cache[query]
         if self.stats is not None:
+            # per-backend category, like the reference's bing_search /
+            # google_search / page_fetch counters (deep_search.py:3515-3523)
+            name = type(self.search_backend).__name__.replace("Backend", "").lower()
+            self.stats.record_search(f"{name}_search")
             self.stats.record_search("web_search")
         rows = await self.search_backend.search(query, top_k)
         self.search_cache[query] = rows

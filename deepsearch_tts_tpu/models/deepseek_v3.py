@@ -296,6 +296,7 @@ def forward(
     seq_lens: jax.Array | None = None,
     logits_indices: jax.Array | None = None,
     impl: str = "xla",
+    slot_decode: bool = False,
 ):
     """Same serving/training contract as models/qwen3.forward."""
     from ..engine.kvcache import write_kv_flat
@@ -309,6 +310,8 @@ def forward(
     LD = cfg.first_k_dense
 
     N = k_pages.shape[1] if serving else 0
+    if serving and slot_decode:
+        page_table = jnp.arange(tokens.shape[0], dtype=jnp.int32)[:, None]
 
     def make_body(mlp_fn, serving):
         def body(carry, lp):
@@ -321,10 +324,16 @@ def forward(
             if serving:
                 table_l = page_table + layer * N
                 kpf, vpf = write_kv_flat(kpf, vpf, rows, rows, positions, table_l)
-                attn = attn_ops.paged_attention(
-                    q_eff, kpf, kpf, table_l, seq_lens,
-                    jnp.maximum(positions, 0), scale=scale, impl=impl,
-                )[..., :KL]
+                if slot_decode:
+                    k_ctx = jax.lax.dynamic_slice_in_dim(kpf, layer * N, N, 0)
+                    attn = attn_ops.masked_context_attention(
+                        q_eff, k_ctx, k_ctx, seq_lens,
+                        jnp.maximum(positions, 0), scale=scale)[..., :KL]
+                else:
+                    attn = attn_ops.paged_attention(
+                        q_eff, kpf, kpf, table_l, seq_lens,
+                        jnp.maximum(positions, 0), scale=scale, impl=impl,
+                    )[..., :KL]
             else:
                 attn = attn_ops.causal_attention(
                     q_eff, rows, rows[..., :KL], scale=scale, impl="xla")

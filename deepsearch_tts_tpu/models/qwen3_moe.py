@@ -139,6 +139,7 @@ def forward(
     seq_lens: jax.Array | None = None,
     logits_indices: jax.Array | None = None,
     impl: str = "xla",
+    slot_decode: bool = False,
 ):
     """Same contract as models/qwen3.forward (serving + training modes)."""
     from ..engine.kvcache import write_kv_flat
@@ -171,6 +172,8 @@ def forward(
         L, N = k_pages.shape[0], k_pages.shape[1]
         kpf = k_pages.reshape((L * N,) + k_pages.shape[2:])
         vpf = v_pages.reshape((L * N,) + v_pages.shape[2:])
+        if slot_decode:
+            page_table = jnp.arange(tokens.shape[0], dtype=jnp.int32)[:, None]
 
         def body(carry, lp):
             x, kpf, vpf, layer = carry
@@ -178,10 +181,16 @@ def forward(
 
             def attend(q, k, v):
                 kw, vw = write_kv_flat(kpf, vpf, k, v, positions, table_l)
-                out = attn_ops.paged_attention(
-                    q, kw, vw, table_l, seq_lens, jnp.maximum(positions, 0),
-                    impl=impl,
-                )
+                if slot_decode:
+                    k_ctx = jax.lax.dynamic_slice_in_dim(kw, layer * N, N, 0)
+                    v_ctx = jax.lax.dynamic_slice_in_dim(vw, layer * N, N, 0)
+                    out = attn_ops.masked_context_attention(
+                        q, k_ctx, v_ctx, seq_lens, jnp.maximum(positions, 0))
+                else:
+                    out = attn_ops.paged_attention(
+                        q, kw, vw, table_l, seq_lens, jnp.maximum(positions, 0),
+                        impl=impl,
+                    )
                 return out, kw, vw
 
             x, (kpf, vpf) = attn(lp, x, attend)

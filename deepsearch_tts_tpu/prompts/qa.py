@@ -231,6 +231,15 @@ Question: {question}
 """
 
 
+def get_task_instruction_timeline(question: str, max_search_limit: int = 10) -> str:
+    return f"""{_inband_header(max_search_limit)}
+
+Answer the following question about the timing/ordering of events. Verify dates with searches, then provide your final answer in the form \\boxed{{YOUR_ANSWER}}.
+
+Question: {question}
+"""
+
+
 def get_task_instruction_code(question: str, max_search_limit: int = 10) -> str:
     return f"""{_inband_header(max_search_limit)}
 
