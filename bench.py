@@ -77,6 +77,7 @@ def main():
     ATTN = os.environ.get("BENCH_ATTN") or None
     PS = int(os.environ.get("BENCH_PS", 64))
     CACHE_MODE = os.environ.get("BENCH_CACHE", "paged")  # paged | slot
+    QUANT = os.environ.get("BENCH_QUANT") or None        # int8
 
     from deepsearch_tts_tpu.engine.weights import fast_random_params
 
@@ -86,7 +87,7 @@ def main():
         "bench-qwen3", ByteTokenizer(), params=params,
         max_slots=B, page_size=PS, n_pages=B * (512 // PS) + 1, max_seq_len=512,
         decode_chunk_len=CHUNK, seed=0, enable_prefix_cache=False,
-        attn_impl=ATTN, cache_mode=CACHE_MODE,
+        attn_impl=ATTN, cache_mode=CACHE_MODE, quantize=QUANT,
     )
     init_s = time.monotonic() - t_init
 
@@ -143,6 +144,9 @@ def main():
             "device": str(jax.devices()[0]),
             "attn_impl": engine.attn_impl,
             "cache_mode": engine.cache_mode,
+            "quantize": engine.quantize,
+            "prefill_tok_s": round(st["prefill_tokens"] /
+                                   max(st["prefill_time_s"], 1e-9), 1),
             "spans": st.get("spans", {}),
         },
     }))

@@ -121,6 +121,7 @@ class Engine:
         admit_batch: int | None = None,
         attn_impl: str | None = None,
         cache_mode: str = "paged",   # "paged" (prefix sharing) | "slot"
+        quantize: str | None = None,  # "int8" quantizes matmul weights
         seed: int = 0,
         enable_prefix_cache: bool = True,
     ):
@@ -150,6 +151,13 @@ class Engine:
 
         if params is None:
             params = fam.init_params(self.cfg, jax.random.PRNGKey(seed))
+        if quantize == "int8":
+            # halve weight-read bandwidth (dequant fused into the MXU
+            # epilogue); norms/embeddings stay bf16. See ops/quant.py.
+            from ..ops.quant import quantize_params
+
+            params = quantize_params(params)
+        self.quantize = quantize
 
         # slot mode: contiguous per-slot cache [L, B, max_seq_len, K, D].
         # Attention reads a fusible dynamic slice (no gather copy) — faster

@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import attention as attn_ops
+from ..ops.quant import maybe_int8_dot
 from .common import apply_rope, dense_init, rms_norm, rope_angles
 
 
@@ -126,23 +127,23 @@ def _block(cfg: Qwen3Config, lp: dict, x, cos, sin, attend):
     H, K, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
 
     h = rms_norm(x, lp["ln1"], cfg.rms_eps)
-    q = jnp.dot(h, lp["wq"], preferred_element_type=jnp.bfloat16).reshape(B, T, H, D)
-    k = jnp.dot(h, lp["wk"], preferred_element_type=jnp.bfloat16).reshape(B, T, K, D)
-    v = jnp.dot(h, lp["wv"], preferred_element_type=jnp.bfloat16).reshape(B, T, K, D)
+    q = maybe_int8_dot(h, lp["wq"]).reshape(B, T, H, D)
+    k = maybe_int8_dot(h, lp["wk"]).reshape(B, T, K, D)
+    v = maybe_int8_dot(h, lp["wv"]).reshape(B, T, K, D)
     q = rms_norm(q, lp["q_norm"], cfg.rms_eps)
     k = rms_norm(k, lp["k_norm"], cfg.rms_eps)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 
     o = attend(q.astype(x.dtype), k.astype(x.dtype), v)
-    o = jnp.dot(o.reshape(B, T, H * D), lp["wo"], preferred_element_type=jnp.bfloat16)
+    o = maybe_int8_dot(o.reshape(B, T, H * D), lp["wo"])
     x = x + o.astype(x.dtype)
 
     h = rms_norm(x, lp["ln2"], cfg.rms_eps)
-    g = jnp.dot(h, lp["w_gate"], preferred_element_type=jnp.bfloat16)
-    u = jnp.dot(h, lp["w_up"], preferred_element_type=jnp.bfloat16)
-    mlp = jnp.dot(jax.nn.silu(g.astype(jnp.float32)).astype(u.dtype) * u, lp["w_down"],
-                  preferred_element_type=jnp.bfloat16)
+    g = maybe_int8_dot(h, lp["w_gate"])
+    u = maybe_int8_dot(h, lp["w_up"])
+    mlp = maybe_int8_dot(jax.nn.silu(g.astype(jnp.float32)).astype(u.dtype) * u,
+                         lp["w_down"])
     return x + mlp.astype(x.dtype)
 
 
@@ -213,21 +214,21 @@ def forward(
             B, T, E = x.shape
             H, K, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
             h = rms_norm(x, lp["ln1"], cfg.rms_eps)
-            q = jnp.dot(h, lp["wq"], preferred_element_type=jnp.bfloat16).reshape(B, T, H, D)
-            k = jnp.dot(h, lp["wk"], preferred_element_type=jnp.bfloat16).reshape(B, T, K, D)
-            v = jnp.dot(h, lp["wv"], preferred_element_type=jnp.bfloat16).reshape(B, T, K, D)
+            q = maybe_int8_dot(h, lp["wq"]).reshape(B, T, H, D)
+            k = maybe_int8_dot(h, lp["wk"]).reshape(B, T, K, D)
+            v = maybe_int8_dot(h, lp["wv"]).reshape(B, T, K, D)
             q = rms_norm(q, lp["q_norm"], cfg.rms_eps)
             k = rms_norm(k, lp["k_norm"], cfg.rms_eps)
             q = apply_rope(q, cos, sin).astype(x.dtype)
             k = apply_rope(k, cos, sin).astype(x.dtype)
             o, kpf, vpf = attend(q, k, v.astype(x.dtype))
-            o = jnp.dot(o.reshape(B, T, H * D), lp["wo"], preferred_element_type=jnp.bfloat16)
+            o = maybe_int8_dot(o.reshape(B, T, H * D), lp["wo"])
             x = x + o.astype(x.dtype)
             h = rms_norm(x, lp["ln2"], cfg.rms_eps)
-            g = jnp.dot(h, lp["w_gate"], preferred_element_type=jnp.bfloat16)
-            u = jnp.dot(h, lp["w_up"], preferred_element_type=jnp.bfloat16)
-            mlp = jnp.dot(jax.nn.silu(g.astype(jnp.float32)).astype(u.dtype) * u,
-                          lp["w_down"], preferred_element_type=jnp.bfloat16)
+            g = maybe_int8_dot(h, lp["w_gate"])
+            u = maybe_int8_dot(h, lp["w_up"])
+            mlp = maybe_int8_dot(jax.nn.silu(g.astype(jnp.float32)).astype(u.dtype) * u,
+                                 lp["w_down"])
             x = x + mlp.astype(x.dtype)
             return (x, kpf, vpf, layer + 1), None
 

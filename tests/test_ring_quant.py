@@ -67,3 +67,24 @@ def test_quantize_params_structure():
                          {"q": qp["layers"]["wq"]["q"][0],
                           "scales": qp["layers"]["wq"]["scales"][0]})
     assert out.shape == (4, 16)
+
+
+def test_int8_engine_generates():
+    """End-to-end int8-quantized serving: engine runs and yields sane output
+    close to bf16 greedy (tiny model, int8 error may flip late tokens)."""
+    import jax
+
+    from deepsearch_tts_tpu.engine.engine import Engine, GenerationRequest
+    from deepsearch_tts_tpu.engine.tokenizer import ByteTokenizer
+    from deepsearch_tts_tpu.models.qwen3 import init_params, QWEN3_CONFIGS
+
+    params = init_params(QWEN3_CONFIGS["qwen3-test"], jax.random.PRNGKey(0))
+    eng = Engine("qwen3-test", ByteTokenizer(), params=params, max_slots=2,
+                 page_size=4, n_pages=64, max_seq_len=128, decode_chunk_len=4,
+                 quantize="int8")
+    res = eng.generate(GenerationRequest(prompt_ids=list(range(10, 26)),
+                                         max_tokens=6, temperature=0.0,
+                                         repetition_penalty=1.0))
+    eng.shutdown()
+    assert len(res.token_ids) == 6
+    assert res.finish_reason in ("stop", "length")
