@@ -153,10 +153,13 @@ class Engine:
             params = fam.init_params(self.cfg, jax.random.PRNGKey(seed))
         if quantize == "int8":
             # halve weight-read bandwidth (dequant fused into the MXU
-            # epilogue); norms/embeddings stay bf16. See ops/quant.py.
-            from ..ops.quant import quantize_params
+            # epilogue); norms/embeddings stay bf16; routed-expert weights
+            # stay bf16 (ragged_dot has no int8 path). See ops/quant.py.
+            from ..ops.quant import QUANT_KEYS, QUANT_KEYS_NO_EXPERTS, quantize_params
 
-            params = quantize_params(params)
+            is_moe = hasattr(self.cfg, "n_experts") or hasattr(self.cfg, "n_routed_experts")
+            params = quantize_params(
+                params, keys=QUANT_KEYS_NO_EXPERTS if is_moe else QUANT_KEYS)
         self.quantize = quantize
 
         # slot mode: contiguous per-slot cache [L, B, max_seq_len, K, D].

@@ -33,6 +33,7 @@ import jax.numpy as jnp
 
 from ..ops import attention as attn_ops
 from ..ops.moe import _expert_ffn_ragged
+from ..ops.quant import maybe_int8_dot
 from .common import apply_rope, dense_init, rms_norm, rope_angles
 
 
@@ -230,18 +231,18 @@ def _moe_v3(cfg: DeepSeekV3Config, lp, h2):
     y = y_sorted[inv].reshape(x.shape[0], cfg.top_k, E)
     routed = jnp.sum(y * w.reshape(-1, cfg.top_k, 1).astype(y.dtype), axis=1)
 
-    g = jnp.dot(x, lp["s_gate"], preferred_element_type=jnp.bfloat16)
-    u = jnp.dot(x, lp["s_up"], preferred_element_type=jnp.bfloat16)
-    shared = jnp.dot(jax.nn.silu(g.astype(jnp.float32)).astype(u.dtype) * u,
-                     lp["s_down"], preferred_element_type=jnp.bfloat16)
+    g = maybe_int8_dot(x, lp["s_gate"])
+    u = maybe_int8_dot(x, lp["s_up"])
+    shared = maybe_int8_dot(jax.nn.silu(g.astype(jnp.float32)).astype(u.dtype) * u,
+                            lp["s_down"])
     return (routed.astype(h2.dtype) + shared.astype(h2.dtype)).reshape(B, T, E)
 
 
 def _dense_mlp(lp, h2):
-    g = jnp.dot(h2, lp["d_gate"], preferred_element_type=jnp.bfloat16)
-    u = jnp.dot(h2, lp["d_up"], preferred_element_type=jnp.bfloat16)
-    return jnp.dot(jax.nn.silu(g.astype(jnp.float32)).astype(u.dtype) * u,
-                   lp["d_down"], preferred_element_type=jnp.bfloat16).astype(h2.dtype)
+    g = maybe_int8_dot(h2, lp["d_gate"])
+    u = maybe_int8_dot(h2, lp["d_up"])
+    return maybe_int8_dot(jax.nn.silu(g.astype(jnp.float32)).astype(u.dtype) * u,
+                          lp["d_down"]).astype(h2.dtype)
 
 
 def _mla_qk(cfg: DeepSeekV3Config, lp, h, cos, sin):
@@ -253,9 +254,8 @@ def _mla_qk(cfg: DeepSeekV3Config, lp, h, cos, sin):
     H, KL = cfg.n_heads, cfg.kv_lora_rank
     QN, QR = cfg.qk_nope_head_dim, cfg.qk_rope_head_dim
 
-    qa = rms_norm(jnp.dot(h, lp["w_qa"], preferred_element_type=jnp.bfloat16),
-                  lp["q_a_norm"], cfg.rms_eps)
-    q = jnp.dot(qa, lp["w_qb"], preferred_element_type=jnp.bfloat16)
+    qa = rms_norm(maybe_int8_dot(h, lp["w_qa"]), lp["q_a_norm"], cfg.rms_eps)
+    q = maybe_int8_dot(qa, lp["w_qb"])
     q = q.reshape(B, T, H, QN + QR)
     q_nope, q_rope = q[..., :QN], q[..., QN:]
     q_rope = apply_rope(q_rope, cos, sin)
@@ -266,7 +266,7 @@ def _mla_qk(cfg: DeepSeekV3Config, lp, h, cos, sin):
                        w_kb.astype(jnp.float32)).astype(h.dtype)
     q_eff = jnp.concatenate([q_lat, q_rope.astype(h.dtype)], axis=-1)
 
-    kva = jnp.dot(h, lp["w_kva"], preferred_element_type=jnp.bfloat16)
+    kva = maybe_int8_dot(h, lp["w_kva"])
     latent = rms_norm(kva[..., :KL], lp["kv_a_norm"], cfg.rms_eps)
     k_rope = apply_rope(kva[..., None, KL:], cos, sin)        # [B,T,1,QR]
     rows = jnp.concatenate([latent[..., None, :], k_rope.astype(h.dtype)], axis=-1)
@@ -280,8 +280,7 @@ def _mla_out(cfg: DeepSeekV3Config, lp, attn_lat, x_dtype):
     w_vb = lp["w_vb"].reshape(KL, H, VD)
     out = jnp.einsum("bthl,lhv->bthv", attn_lat.astype(jnp.float32),
                      w_vb.astype(jnp.float32)).astype(x_dtype)
-    return jnp.dot(out.reshape(B, T, H * VD), lp["wo"],
-                   preferred_element_type=jnp.bfloat16).astype(x_dtype)
+    return maybe_int8_dot(out.reshape(B, T, H * VD), lp["wo"]).astype(x_dtype)
 
 
 def forward(

@@ -20,6 +20,7 @@ import jax.numpy as jnp
 
 from ..ops import attention as attn_ops
 from ..ops.moe import moe_capacity, moe_ragged
+from ..ops.quant import maybe_int8_dot
 from .common import apply_rope, dense_init, rms_norm, rope_angles
 
 
@@ -152,9 +153,9 @@ def forward(
     def attn(lp, x, attend):
         B, T, E = x.shape
         h = rms_norm(x, lp["ln1"], cfg.rms_eps)
-        q = jnp.dot(h, lp["wq"], preferred_element_type=jnp.bfloat16).reshape(B, T, H, D)
-        k = jnp.dot(h, lp["wk"], preferred_element_type=jnp.bfloat16).reshape(B, T, K, D)
-        v = jnp.dot(h, lp["wv"], preferred_element_type=jnp.bfloat16).reshape(B, T, K, D)
+        q = maybe_int8_dot(h, lp["wq"]).reshape(B, T, H, D)
+        k = maybe_int8_dot(h, lp["wk"]).reshape(B, T, K, D)
+        v = maybe_int8_dot(h, lp["wv"]).reshape(B, T, K, D)
         q = rms_norm(q, lp["q_norm"], cfg.rms_eps)
         k = rms_norm(k, lp["k_norm"], cfg.rms_eps)
         q = apply_rope(q, cos, sin).astype(x.dtype)
@@ -164,7 +165,7 @@ def forward(
             o, extra = o[0], o[1:]
         else:
             extra = ()
-        o = jnp.dot(o.reshape(B, T, H * D), lp["wo"], preferred_element_type=jnp.bfloat16)
+        o = maybe_int8_dot(o.reshape(B, T, H * D), lp["wo"])
         return x + o.astype(x.dtype), extra
 
     if serving:

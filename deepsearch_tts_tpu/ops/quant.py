@@ -29,8 +29,12 @@ def _quant_kernel(seed_ref, x_ref, q_ref, scale_ref):
     amax = jnp.max(jnp.abs(x), axis=0, keepdims=True)      # per output channel
     scale = jnp.maximum(amax / 127.0, 1e-8)
     scaled = x / scale
+    # stochastic rounding to int8 by hand (the pltpu.stochastic_round
+    # primitive only targets bf16/fp8): add uniform [0,1) noise, floor, clip
     bits = pltpu.bitcast(pltpu.prng_random_bits(scaled.shape), jnp.uint32)
-    q_ref[:] = pltpu.stochastic_round(scaled, bits, target_dtype=jnp.int8)
+    u = (bits >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
+    q = jnp.clip(jnp.floor(scaled + u), -127, 127)
+    q_ref[:] = q.astype(jnp.int8)
     scale_ref[:] = scale.astype(jnp.float32)
 
 
@@ -75,8 +79,14 @@ QUANT_KEYS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down",
               "d_gate", "d_up", "d_down", "s_gate", "s_up", "s_down",
               "w_qb", "w_kb", "w_vb", "lm_head")
 
+# routed-expert weights go through lax.ragged_dot, which has no int8 path —
+# MoE families quantize everything else
+QUANT_KEYS_NO_EXPERTS = tuple(k for k in QUANT_KEYS
+                              if k not in ("w_gate", "w_up", "w_down"))
 
-def quantize_params(params: dict, seed: int = 0) -> dict:
+
+def quantize_params(params: dict, seed: int = 0,
+                    keys: tuple[str, ...] = QUANT_KEYS) -> dict:
     """Quantize big matmul weights to int8 {q, scales}; pass the rest through.
 
     Stacked leading dims (layer / expert) are preserved: quantization is
@@ -84,7 +94,7 @@ def quantize_params(params: dict, seed: int = 0) -> dict:
     """
     def quant_leaf(path, x):
         name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
-        if name not in QUANT_KEYS or x.ndim < 2:
+        if name not in keys or x.ndim < 2:
             return x
         mat = x.reshape(-1, x.shape[-2], x.shape[-1])
         qs = [quantize_int8(m, seed=seed + i) for i, m in enumerate(mat)]
