@@ -254,6 +254,46 @@ class FakeClient:
         return CompletionResponse(resp.content, resp.finish_reason, resp.usage)
 
 
+class FaultInjectionClient:
+    """Chaos wrapper: fail a fraction of calls to exercise resilience paths.
+
+    The reference has no fault injection at all (SURVEY.md §5); this wrapper
+    lets tests verify that retry/error-row/degradation behavior holds under
+    injected model-backend failures.
+    """
+
+    def __init__(self, inner, error_rate: float = 0.3, seed: int = 0,
+                 exception: bool = False):
+        import random as _random
+
+        self.inner = inner
+        self.error_rate = error_rate
+        self.exception = exception
+        self._rng = _random.Random(seed)
+        self.injected = 0
+
+    def _fail(self) -> bool:
+        if self._rng.random() < self.error_rate:
+            self.injected += 1
+            return True
+        return False
+
+    async def chat(self, messages, tools=None, **opts) -> ChatResponse:
+        if self._fail():
+            if self.exception:
+                raise ConnectionError("injected fault")
+            return ChatResponse(type="error", error="injected fault",
+                                content="Error: injected fault")
+        return await self.inner.chat(messages, tools=tools, **opts)
+
+    async def complete(self, prompt: str, **opts) -> CompletionResponse:
+        if self._fail():
+            if self.exception:
+                raise ConnectionError("injected fault")
+            return CompletionResponse("Error: injected fault", "error")
+        return await self.inner.complete(prompt, **opts)
+
+
 def make_tool_call(name: str, arguments: dict) -> dict:
     import uuid
 

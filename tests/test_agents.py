@@ -180,3 +180,33 @@ def test_cost_accounting():
     u = TokenUsage(1000, 500)
     assert abs(calculate_cost(u, "m", prices) - 0.002) < 1e-9
     assert calculate_cost(u, "unknown", prices) == 0.0
+
+
+def test_fault_injection_batch_resilience(tmp_path):
+    """Injected backend faults become error rows / degraded answers, never a
+    crashed batch (reference has no fault injection at all; SURVEY.md §5)."""
+    from deepsearch_tts_tpu.agents.client import FaultInjectionClient
+
+    inner = FakeClient(handler=lambda m, t: ChatResponse(
+        type="normal", content=r"\boxed{ok}", finish_reason="stop"))
+    chaotic = FaultInjectionClient(inner, error_rate=0.5, seed=1, exception=True)
+    agent = PolicyAgent(chaotic)
+    runner = BatchRunner(agent, output_dir=str(tmp_path), mode="solve",
+                         concurrent_limit=4)
+    rows = runner.run_sync([{"Question": f"q{i}"} for i in range(10)],
+                           str(tmp_path / "r.json"))
+    assert len(rows) == 10
+    assert chaotic.injected > 0
+    oks = [r for r in rows if r["pred_answer"] == "ok"]
+    errs = [r for r in rows if r["pred_answer"].startswith("Error")]
+    assert len(oks) + len(errs) == 10 and errs
+
+
+def test_fault_injection_error_responses(tmp_path):
+    from deepsearch_tts_tpu.agents.client import FaultInjectionClient
+
+    inner = FakeClient(handler=lambda m, t: ChatResponse(
+        type="normal", content=r"\boxed{ok}", finish_reason="stop"))
+    chaotic = FaultInjectionClient(inner, error_rate=1.0, exception=False)
+    res = asyncio.run(PolicyAgent(chaotic).solve("q"))
+    assert res.error == "injected fault"
