@@ -32,7 +32,9 @@ def _quant_kernel(seed_ref, x_ref, q_ref, scale_ref):
     # stochastic rounding to int8 by hand (the pltpu.stochastic_round
     # primitive only targets bf16/fp8): add uniform [0,1) noise, floor, clip
     bits = pltpu.bitcast(pltpu.prng_random_bits(scaled.shape), jnp.uint32)
-    u = (bits >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
+    # Mosaic can't cast uint32→f32; the >>8 value fits in int31, so bitcast
+    bits24 = pltpu.bitcast(bits >> 8, jnp.int32)
+    u = bits24.astype(jnp.float32) * (1.0 / (1 << 24))
     q = jnp.clip(jnp.floor(scaled + u), -127, 127)
     q_ref[:] = q.astype(jnp.int8)
     scale_ref[:] = scale.astype(jnp.float32)
