@@ -99,7 +99,10 @@ def quantize_params(params: dict, seed: int = 0,
         if name not in keys or x.ndim < 2:
             return x
         mat = x.reshape(-1, x.shape[-2], x.shape[-1])
-        qs = [quantize_int8(m, seed=seed + i) for i, m in enumerate(mat)]
+        # one-time init work: the XLA round-to-nearest path handles matrices
+        # of any size (the Pallas kernel wants the whole matrix in VMEM)
+        qs = [quantize_int8(m, seed=seed + i, interpret=True)
+              for i, m in enumerate(mat)]
         q = jnp.stack([a for a, _ in qs]).reshape(x.shape)
         s = jnp.stack([b for _, b in qs]).reshape(x.shape[:-2] + (1, x.shape[-1]))
         return {"q": q, "scales": s}
