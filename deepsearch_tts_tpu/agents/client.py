@@ -27,8 +27,6 @@ from __future__ import annotations
 import asyncio
 import json
 import random
-import re
-import time
 from dataclasses import dataclass, field
 from typing import Any, Protocol, Sequence
 

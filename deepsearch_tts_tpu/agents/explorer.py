@@ -16,7 +16,7 @@ nested event loops, no thread executors.
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from ..evaluate.extract import extract_answer_fn
 from ..prompts import qa as P

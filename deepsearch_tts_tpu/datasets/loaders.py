@@ -12,8 +12,8 @@ import base64
 import csv
 import json
 import os
-from dataclasses import dataclass, field
-from typing import Any, Callable
+from dataclasses import dataclass
+from typing import Callable
 
 
 def xor_decrypt(data: bytes, key: str) -> bytes:

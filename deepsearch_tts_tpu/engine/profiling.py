@@ -12,7 +12,6 @@ import contextlib
 import threading
 import time
 from collections import defaultdict
-from dataclasses import dataclass, field
 
 
 class SpanTimer:

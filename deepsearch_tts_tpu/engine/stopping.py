@@ -8,7 +8,7 @@ only looks at the tail of the decoded text.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 
 @dataclass

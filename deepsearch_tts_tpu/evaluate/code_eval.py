@@ -14,12 +14,10 @@ capabilities:
 """
 from __future__ import annotations
 
-import json
 import math
 import multiprocessing as mp
-import os
 import sys
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 
 @dataclass

@@ -13,11 +13,9 @@ as ops/attention.py (and can dispatch to the Pallas flash kernel per block).
 """
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 NEG_INF = -1e30
 

@@ -8,7 +8,7 @@ GSPMD recipe: annotate shardings, let XLA insert the collectives.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field, replace
+from dataclasses import dataclass, field
 from typing import Any
 
 import jax

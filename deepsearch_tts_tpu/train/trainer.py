@@ -13,14 +13,13 @@ is one jit with donated (params, opt_state) — XLA inserts all collectives
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
 import optax
 
-from ..parallel.sharding import TRAIN_RULES, logical_to_spec, shard_pytree
+from ..parallel.sharding import TRAIN_RULES, shard_pytree
 
 
 class TrainState(NamedTuple):

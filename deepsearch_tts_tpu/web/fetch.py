@@ -17,7 +17,7 @@ import asyncio
 import re
 from dataclasses import dataclass, field
 from html.parser import HTMLParser
-from typing import Awaitable, Callable
+from typing import Callable
 
 MAX_PAGE_BYTES = 5 * 1024 * 1024
 PAGE_TEXT_CAP = 50000
