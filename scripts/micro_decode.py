@@ -24,8 +24,10 @@ CTX = int(os.environ.get("MB_CTX", 192))
 STEPS = int(os.environ.get("MB_STEPS", 32))
 VOCAB = int(os.environ.get("MB_VOCAB", 32768))
 
-cfg = Qwen3Config(vocab_size=VOCAB, hidden=1024, n_layers=28, n_heads=16,
-                  n_kv_heads=8, head_dim=128, intermediate=3072,
+HIDDEN = int(os.environ.get("MB_HIDDEN", 1024))
+INTER = int(os.environ.get("MB_INTER", 3072))
+cfg = Qwen3Config(vocab_size=VOCAB, hidden=HIDDEN, n_layers=28, n_heads=16,
+                  n_kv_heads=8, head_dim=128, intermediate=INTER,
                   tie_embeddings=True)
 P = 512 // PS
 
