@@ -69,3 +69,57 @@ def test_cli_fake_run_trace_schema(tmp_path):
     assert stats
     s = json.loads(stats[-1].read_text())
     assert "api_counters" in s and "token_usage" in s and "cost" in s
+
+
+def test_cli_verify_mode(tmp_path):
+    """verify mode over a prior run's rows: confidence_score in the trace."""
+    import deepsearch_tts_tpu.cli.deep_search as ds
+
+    prior = [{"Question": "q1", "pred_answer": "a1"}]
+    inp = tmp_path / "prior.json"
+    inp.write_text(json.dumps(prior))
+    ds.main([
+        "--mode", "verify", "--backend", "fake", "--search_backend", "replay",
+        "--input_path", str(inp), "--output_dir", str(tmp_path),
+    ])
+    rows = json.loads(sorted(tmp_path.glob("verifier_results_*.json"))[-1].read_text())
+    assert "confidence_score" in rows[0]
+    assert "verification_searches" in rows[0]
+
+
+def test_cli_budget_forcing_mode(tmp_path):
+    """solve_budget_forcing resumes prior message histories (reference
+    README.md:47 flow)."""
+    import deepsearch_tts_tpu.cli.deep_search as ds
+
+    prior = [{
+        "Question": "q1",
+        "messages": [
+            {"role": "system", "content": "s"},
+            {"role": "user", "content": "q1"},
+            {"role": "assistant", "content": "got stuck"},
+        ],
+    }]
+    inp = tmp_path / "prior.json"
+    inp.write_text(json.dumps(prior))
+    ds.main([
+        "--mode", "solve_budget_forcing", "--backend", "fake",
+        "--search_backend", "replay",
+        "--input_path", str(inp), "--output_dir", str(tmp_path),
+    ])
+    rows = json.loads(sorted(tmp_path.glob("policy_results_*.json"))[-1].read_text())
+    msgs = rows[0]["messages"]
+    assert any("additional search" in (m.get("content") or "")
+               for m in msgs if m["role"] == "user")
+    assert rows[0]["pred_answer"]
+
+
+def test_cli_search_mode(capsys):
+    """single-query search mode prints the search_with_intent dict."""
+    import deepsearch_tts_tpu.cli.deep_search as ds
+
+    ds.main(["--mode", "search", "--backend", "fake",
+             "--search_backend", "replay", "--query", "anything"])
+    out = capsys.readouterr().out
+    data = json.loads(out[out.index("{"):])
+    assert set(data) >= {"extracted_info", "search_query", "search_intent"}
