@@ -98,3 +98,38 @@ def test_lora_hot_load(tmp_path):
     after = eng.generate(_req(list(range(20, 40))))
     eng.shutdown()
     assert after.token_ids != before.token_ids
+
+
+def test_moe_engine_expert_parallel(mesh8):
+    """Qwen3-MoE served through the engine with experts sharded over ep:
+    output must match the unsharded engine (GShard capacity dispatch)."""
+    from dataclasses import replace
+
+    from deepsearch_tts_tpu.models import registry
+    from deepsearch_tts_tpu.models import qwen3_moe
+    from deepsearch_tts_tpu.models.qwen3_moe import QWEN3_MOE_CONFIGS
+    from deepsearch_tts_tpu.parallel.mesh import make_mesh
+
+    cfg = replace(QWEN3_MOE_CONFIGS["qwen3-moe-test"], moe_impl="capacity",
+                  capacity_factor=8.0)  # unbounded capacity: exact == ragged
+    registry.register("moe-ep-test", cfg, qwen3_moe.init_params,
+                      qwen3_moe.forward, lambda cfg=cfg: qwen3_moe.logical_axes(cfg))
+    params = qwen3_moe.init_params(cfg, jax.random.PRNGKey(0))
+    tk = ByteTokenizer()
+    prompt = list(range(30, 50))
+
+    ref_eng = Engine("moe-ep-test", tk, params=params, max_slots=2, page_size=4,
+                     n_pages=64, max_seq_len=128, decode_chunk_len=4)
+    ref = ref_eng.generate(_req(prompt, n=6))
+    ref_eng.shutdown()
+
+    mesh = make_mesh(dp=1, ep=2, tp=2, devices=jax.devices()[:4])
+    eng = Engine("moe-ep-test", tk, params=params, mesh=mesh, max_slots=2,
+                 page_size=4, n_pages=64, max_seq_len=128, decode_chunk_len=4)
+    out = eng.generate(_req(prompt, n=6))
+    eng.shutdown()
+
+    # bf16 collectives reorder reductions, so a late near-tie may flip; the
+    # leading tokens must agree and the run must complete
+    assert out.token_ids[:3] == ref.token_ids[:3]
+    assert len(out.token_ids) == 6 and out.finish_reason in ("stop", "length")
