@@ -74,6 +74,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="replay fixture for --search_backend replay")
     p.add_argument("--weights_path", type=str, default="",
                    help="safetensors dir for --backend engine (random init if empty)")
+    p.add_argument("--aux_weights_path", type=str, default="",
+                   help="safetensors dir for the aux model engine")
     p.add_argument("--tokenizer_path", type=str, default="")
     p.add_argument("--engine_max_slots", type=int, default=64)
     p.add_argument("--engine_page_size", type=int, default=64)
@@ -135,7 +137,7 @@ def make_clients(args):
         # co-serve a distinct aux verifier/explorer model on the same chip(s):
         # separate engine + KV pool, half the slot budget
         aux_params, aux_name = load_or_init_params(
-            args.aux_model_name, getattr(args, "aux_weights_path", ""))
+            args.aux_model_name, args.aux_weights_path)
         aux_engine = Engine(
             aux_name, tok, params=aux_params,
             max_slots=max(args.engine_max_slots // 2, 4),
