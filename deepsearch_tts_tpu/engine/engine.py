@@ -224,6 +224,7 @@ class Engine:
 
         self._queue: "queue.Queue[tuple[GenerationRequest, Future]]" = queue.Queue()
         self._deferred: list[tuple[GenerationRequest, Future]] = []
+        self._aborts: set[str] = set()
         self._wake = threading.Event()
         self._stopping = False
         self._thread: threading.Thread | None = None
@@ -332,6 +333,16 @@ class Engine:
     def generate(self, req: GenerationRequest) -> GenerationResult:
         return self.submit(req).result()
 
+    def abort(self, request_id: str) -> bool:
+        """Cancel an in-flight or queued request.
+
+        Queued requests are dropped (future cancelled); active ones finish at
+        the next chunk boundary with finish_reason='aborted'. Returns whether
+        the id was found."""
+        self._aborts.add(request_id)
+        self._wake.set()
+        return True
+
     def load_lora_adapter(self, lora_path: str, scale: float | None = None) -> None:
         """Hot-load a LoRA adapter by merging it into the served weights.
 
@@ -372,6 +383,7 @@ class Engine:
     def _loop(self):
         while not self._stopping:
             try:
+                self._apply_aborts()
                 admitted = self._admit()
                 any_active = any(s.active for s in self.slots)
                 if not any_active:
@@ -417,6 +429,15 @@ class Engine:
 
     MAX_PREFILL_GROUP = 8  # prefill batch rows per dispatch (padded to pow2)
 
+    def _apply_aborts(self) -> None:
+        if not self._aborts:
+            return
+        for s in self.slots:
+            if s.active and s.req and s.req.request_id in self._aborts:
+                self._aborts.discard(s.req.request_id)
+                s.stop.finished, s.stop.finish_reason = True, "aborted"
+                self._finish_slot(s, reason="aborted")
+
     def _admit(self, max_admits: int | None = None) -> bool:
         """Admit queued requests with *batched prefill*.
 
@@ -440,6 +461,10 @@ class Engine:
                     req, fut = self._queue.get_nowait()
                 except queue.Empty:
                     break
+            if req.request_id in self._aborts:
+                self._aborts.discard(req.request_id)
+                fut.cancel()
+                continue
             try:
                 prepared.append(self._prepare_request(slot, req, fut))
             except MemoryError as e:

@@ -130,6 +130,48 @@ class BingBackend:
         raise RuntimeError(f"bing search failed after retries: {last_err}")
 
 
+@dataclass
+class GoogleCSEBackend:
+    """Google Programmable Search (Custom Search JSON API) — the reference's
+    google_search.py capability (scripts/search/google_search.py)."""
+
+    api_key: str
+    cx: str
+    endpoint: str = "https://www.googleapis.com/customsearch/v1"
+    rate: RateLimiter = field(default_factory=lambda: RateLimiter(60, burst=10))
+    max_retries: int = 5
+
+    async def search(self, query: str, top_k: int = 10) -> list[dict]:
+        import urllib.parse
+        import urllib.request
+
+        await self.rate.acquire()
+        url = (f"{self.endpoint}?key={self.api_key}&cx={self.cx}"
+               f"&q={urllib.parse.quote(query)}&num={min(top_k, 10)}")
+
+        def _do():
+            with urllib.request.urlopen(url, timeout=30) as r:
+                return json.loads(r.read().decode())
+
+        last_err: Exception | None = None
+        for attempt in range(self.max_retries):
+            try:
+                data = await asyncio.get_running_loop().run_in_executor(None, _do)
+                return [{
+                    "id": i + 1,
+                    "title": item.get("title", ""),
+                    "url": item.get("link", ""),
+                    "site_name": item.get("displayLink", ""),
+                    "date": "",
+                    "snippet": item.get("snippet", ""),
+                    "context": "",
+                } for i, item in enumerate(data.get("items", [])[:top_k])]
+            except Exception as e:
+                last_err = e
+                await asyncio.sleep(min(2 ** attempt, 30))
+        raise RuntimeError(f"google cse search failed after retries: {last_err}")
+
+
 def format_search_results(results: list[dict]) -> str:
     """Render normalized rows for an LLM prompt (JSON-lines style)."""
     blocks = []

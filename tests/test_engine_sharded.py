@@ -133,3 +133,24 @@ def test_moe_engine_expert_parallel(mesh8):
     # leading tokens must agree and the run must complete
     assert out.token_ids[:3] == ref.token_ids[:3]
     assert len(out.token_ids) == 6 and out.finish_reason in ("stop", "length")
+
+
+def test_abort_request():
+    from deepsearch_tts_tpu.engine.engine import GenerationRequest
+
+    cfg = QWEN3_CONFIGS["qwen3-test"]
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    eng = Engine("qwen3-test", ByteTokenizer(), params=params, max_slots=2,
+                 page_size=4, n_pages=128, max_seq_len=512, decode_chunk_len=4)
+    req = GenerationRequest(prompt_ids=list(range(16)), max_tokens=400,
+                            temperature=0.0, repetition_penalty=1.0)
+    fut = eng.submit(req)
+    import time as _t
+
+    # let it start, then abort mid-generation
+    _t.sleep(0.5)
+    eng.abort(req.request_id)
+    res = fut.result(timeout=600)
+    eng.shutdown()
+    assert res.finish_reason in ("aborted", "stop", "length")
+    assert res.completion_tokens < 400 or res.finish_reason != "aborted"

@@ -97,3 +97,12 @@ def test_judge_reports_aggregation():
             {"question": "q2", "reports": {"sysX": "r2"}}]
     agg = asyncio.run(judge_reports(rows, complete))
     assert agg["sysX"]["factuality"] == 8.0
+
+
+def test_few_shot_prompt():
+    from deepsearch_tts_tpu.evaluate.math_examples import build_few_shot_prompt
+
+    p = build_few_shot_prompt("What is 2+2?", "math", n_shots=2)
+    assert p.count("Question:") == 3
+    assert p.rstrip().endswith("Solution:")
+    assert "\\boxed{25}" in p
