@@ -593,7 +593,8 @@ class Engine:
             ids = np.asarray(prompt, np.int64)
             seen_rows[g][ids[ids < self.cfg.vocab_size]] = True
 
-        prefill = self._prefill_fn((bucket, Gp))
+        fresh = all(p["cached_len"] == 0 for p in grp)
+        prefill = self._prefill_fn((bucket, Gp, fresh))
         span = self.spans.span("prefill_dispatch")
         span.__enter__()
         self.k_pages, self.v_pages, logits = prefill(

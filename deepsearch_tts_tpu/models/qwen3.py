@@ -160,6 +160,7 @@ def forward(
     logits_indices: jax.Array | None = None,  # [B] position in T to project
     impl: str = "xla",
     slot_decode: bool = False,  # contiguous-slot decode: batch row == pool row
+    fresh_prefill: bool = False,  # no cached prefix: attend over the chunk only
 ):
     """Run the decoder.
 
@@ -199,7 +200,13 @@ def forward(
 
             def attend(q, k, v):
                 kw, vw = write_kv_flat(kpf, vpf, k, v, positions, table_l)
-                if slot_decode:
+                if fresh_prefill:
+                    # positions start at 0 ⇒ causal attention over the chunk
+                    # itself (no paged read of the empty page budget). Padded
+                    # tail tokens produce garbage rows that are never read.
+                    out = attn_ops.causal_attention(q, k, v, impl=impl
+                                                    if impl != "xla" else "xla")
+                elif slot_decode:
                     k_ctx = jax.lax.dynamic_slice_in_dim(kw, layer * N, N, 0)
                     v_ctx = jax.lax.dynamic_slice_in_dim(vw, layer * N, N, 0)
                     out = attn_ops.masked_context_attention(

@@ -152,3 +152,32 @@ def test_registry():
     assert fam.config.hidden == 128
     axes = fam.logical_axes()
     assert axes["layers"]["wq"] == ("layer", "embed", "heads")
+
+
+def test_fresh_prefill_matches_paged(params):
+    """fresh_prefill (chunk-causal attention, pages written but not read)
+    must equal the paged prefill logits for a prefix-free prompt."""
+    B, T = 2, 7
+    key = jax.random.PRNGKey(9)
+    tokens = jax.random.randint(key, (B, T), 0, CFG.vocab_size, jnp.int32)
+    pos = jnp.tile(jnp.arange(T, dtype=jnp.int32), (B, 1))
+
+    k1, v1, alloc1, t1 = _paged_setup(B, 4)
+    for b in range(B):
+        t1[b, :2] = alloc1.alloc(2)
+    ref, (k1, v1) = forward(params, CFG, tokens, pos, k_pages=k1, v_pages=v1,
+                            page_table=jnp.asarray(t1),
+                            seq_lens=jnp.full((B,), T, jnp.int32))
+
+    k2, v2, alloc2, t2 = _paged_setup(B, 4)
+    for b in range(B):
+        t2[b, :2] = alloc2.alloc(2)
+    out, (k2, v2) = forward(params, CFG, tokens, pos, k_pages=k2, v_pages=v2,
+                            page_table=jnp.asarray(t2),
+                            seq_lens=jnp.full((B,), T, jnp.int32),
+                            fresh_prefill=True)
+    np.testing.assert_allclose(np.asarray(ref, np.float32),
+                               np.asarray(out, np.float32), rtol=5e-2, atol=6e-2)
+    # the pages must hold identical KV (decode continues from them)
+    np.testing.assert_allclose(np.asarray(k1, np.float32),
+                               np.asarray(k2, np.float32), rtol=1e-2, atol=1e-2)
