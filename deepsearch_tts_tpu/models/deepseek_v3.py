@@ -296,6 +296,7 @@ def forward(
     logits_indices: jax.Array | None = None,
     impl: str = "xla",
     slot_decode: bool = False,
+    fresh_prefill: bool = False,
 ):
     """Same serving/training contract as models/qwen3.forward."""
     from ..engine.kvcache import write_kv_flat
@@ -323,7 +324,10 @@ def forward(
             if serving:
                 table_l = page_table + layer * N
                 kpf, vpf = write_kv_flat(kpf, vpf, rows, rows, positions, table_l)
-                if slot_decode:
+                if fresh_prefill:
+                    attn = attn_ops.causal_attention(
+                        q_eff, rows, rows[..., :KL], scale=scale, impl="xla")
+                elif slot_decode:
                     k_ctx = jax.lax.dynamic_slice_in_dim(kpf, layer * N, N, 0)
                     attn = attn_ops.masked_context_attention(
                         q_eff, k_ctx, k_ctx, seq_lens,

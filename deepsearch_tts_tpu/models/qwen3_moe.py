@@ -141,6 +141,7 @@ def forward(
     logits_indices: jax.Array | None = None,
     impl: str = "xla",
     slot_decode: bool = False,
+    fresh_prefill: bool = False,
 ):
     """Same contract as models/qwen3.forward (serving + training modes)."""
     from ..engine.kvcache import write_kv_flat
@@ -182,7 +183,9 @@ def forward(
 
             def attend(q, k, v):
                 kw, vw = write_kv_flat(kpf, vpf, k, v, positions, table_l)
-                if slot_decode:
+                if fresh_prefill:
+                    out = attn_ops.causal_attention(q, k, v, impl="xla")
+                elif slot_decode:
                     k_ctx = jax.lax.dynamic_slice_in_dim(kw, layer * N, N, 0)
                     v_ctx = jax.lax.dynamic_slice_in_dim(vw, layer * N, N, 0)
                     out = attn_ops.masked_context_attention(

@@ -86,3 +86,27 @@ def test_moe_registry():
     assert fam.config.n_experts == 128 and fam.config.top_k == 8
     axes = fam.logical_axes()
     assert axes["layers"]["w_gate"] == ("layer", "expert", "embed", "expert_mlp")
+
+
+def test_moe_fresh_prefill_matches_paged():
+    from deepsearch_tts_tpu.engine.kvcache import PageAllocator, init_kv_pages
+
+    params = init_params(CFG, jax.random.PRNGKey(0))
+    B, T, PS, NP = 1, 6, 4, 16
+    tokens = jax.random.randint(jax.random.PRNGKey(8), (B, T), 0,
+                                CFG.vocab_size, jnp.int32)
+    pos = jnp.tile(jnp.arange(T, dtype=jnp.int32), (B, 1))
+
+    outs = []
+    for fresh in (False, True):
+        k_pages, v_pages = init_kv_pages(CFG.n_layers, NP, PS, CFG.n_kv_heads,
+                                         CFG.head_dim)
+        alloc = PageAllocator(NP, PS)
+        table = np.zeros((B, 4), np.int32)
+        table[0, :2] = alloc.alloc(2)
+        out, _ = forward(params, CFG, tokens, pos, k_pages=k_pages,
+                         v_pages=v_pages, page_table=jnp.asarray(table),
+                         seq_lens=jnp.full((B,), T, jnp.int32),
+                         fresh_prefill=fresh)
+        outs.append(np.asarray(out, np.float32))
+    np.testing.assert_allclose(outs[0], outs[1], rtol=5e-2, atol=6e-2)
