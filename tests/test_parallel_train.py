@@ -92,3 +92,20 @@ def test_span_timer():
         pass
     s = t.summary()
     assert s["a"]["count"] == 2 and s["a"]["total_s"] >= 0
+
+
+def test_device_trace_smoke(tmp_path):
+    """jax.profiler trace capture works (observability subsystem)."""
+    import jax.numpy as jnp
+
+    from deepsearch_tts_tpu.engine.profiling import annotate, device_trace
+
+    with device_trace(str(tmp_path)):
+        with annotate("smoke"):
+            _ = (jnp.ones((8, 8)) @ jnp.ones((8, 8))).block_until_ready()
+    import os
+
+    # a trace directory with at least one event file must exist
+    found = any("trace" in f or f.endswith(".pb") or f.endswith(".json.gz")
+                for _, _, files in os.walk(tmp_path) for f in files)
+    assert found
