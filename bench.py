@@ -101,10 +101,14 @@ def main():
                                  temperature=0.7, top_k=20, top_p=0.8,
                                  min_p=0.05, repetition_penalty=1.05)
 
-    # warmup: compile prefill + decode
+    # warmup: compile decode + the prefill group shapes the run will use
+    # (group-of-8 fused prefill+sample, group-of-1 leftovers), then one real
+    # request end-to-end
+    engine.warmup(prompt_lens=(PROMPT,))
     engine.generate(req(-1))
     engine.stats.update(decode_tokens=0, decode_time_s=0.0, decode_steps=0,
                         prefill_tokens=0, prefill_time_s=0.0, requests=0)
+    engine.spans.reset()
 
     t0 = time.monotonic()
     futs = [engine.submit(req(i)) for i in range(B)]

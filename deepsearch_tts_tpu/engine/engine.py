@@ -243,18 +243,6 @@ class Engine:
         self.spans = SpanTimer()
         self._decode_fn = self._build_decode_fn()
 
-        _eos = self.tokenizer.eos_id if self.tokenizer.eos_id is not None else -1
-
-        @jax.jit
-        def _sample1(logits, temperature, top_k, top_p, min_p, rep,
-                     min_toks, gen, seen, key):
-            sp = SamplingParams(temperature, top_k, top_p, min_p, rep,
-                                min_tokens=min_toks, tokens_generated=gen,
-                                eos_id=_eos)
-            return sample(logits, sp, seen, key)
-
-        self._sample_jit = _sample1
-
     # ---------------------------------------------------------------- jit fns
 
     def _build_decode_fn(self):
@@ -300,25 +288,49 @@ class Engine:
 
         return decode_chunk
 
-    def _prefill_fn(self, bucket):
-        """Jitted batched prefill keyed by (token bucket, group size)."""
-        if bucket in self._jit_cache:
-            return self._jit_cache[bucket]
+    def _prefill_fn(self, key):
+        """Jitted prefill + first-token sample, keyed by
+        ``(token bucket, group size, fresh)``.
+
+        The whole admission step for a group is ONE device program: forward,
+        sampling, and the seen-mask fold all fuse — with remote compilation
+        (axon) each extra program costs a multi-second round trip, so
+        admission latency is dominated by dispatch count, not FLOPs.
+        ``fresh`` (no cached prefix in the group) switches the model to
+        causal attention over the chunk instead of gathering the page budget.
+        """
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+        bucket, Gp, fresh = key
         cfg, fwd = self.cfg, self.forward
         impl = self.attn_impl
-        slot_mode = self.cache_mode == "slot"
+        eos_id = self.tokenizer.eos_id if self.tokenizer.eos_id is not None else -1
 
-        @partial(jax.jit, donate_argnums=(0, 1))
+        @partial(jax.jit, donate_argnums=(0, 1, 9))
         def prefill(k_pages, v_pages, params, tokens, positions, page_table,
-                    seq_lens, logits_idx):
+                    seq_lens, logits_idx, rows, seen, seen_rows, samp,
+                    min_toks, sample_key):
             logits, (k_pages, v_pages) = fwd(
                 params, cfg, tokens, positions,
                 k_pages=k_pages, v_pages=v_pages, page_table=page_table,
                 seq_lens=seq_lens, logits_indices=logits_idx, impl=impl,
+                fresh_prefill=fresh,
             )
-            return k_pages, v_pages, logits[:, 0]
+            sp = SamplingParams(
+                samp["temperature"], samp["top_k"], samp["top_p"],
+                samp["min_p"], samp["repetition_penalty"],
+                min_tokens=min_toks, tokens_generated=jnp.zeros_like(min_toks),
+                eos_id=eos_id,
+            )
+            first = sample(logits[:, 0], sp, seen_rows, sample_key)
+            # fold the group's token-presence rows + sampled first token into
+            # the engine-wide seen mask; padding rows carry row index B
+            # (out of bounds => scatter dropped)
+            seen = seen.at[rows].set(seen_rows, mode="drop")
+            seen = seen.at[rows, first].set(True, mode="drop")
+            return k_pages, v_pages, seen, first
 
-        self._jit_cache[bucket] = prefill
+        self._jit_cache[key] = prefill
         return prefill
 
     # ------------------------------------------------------------- public API
@@ -365,6 +377,59 @@ class Engine:
             lora = jax.tree.map(rescale, lora,
                                 is_leaf=lambda v: isinstance(v, dict) and "a" in v)
         self.params = apply_lora(self.params, lora)
+
+    def warmup(self, prompt_lens=(128,), group_sizes=None, decode=True,
+               fresh_variants=(True,)) -> None:
+        """Pre-compile the hot programs so serving never pays compile latency.
+
+        Dispatches dummy prefill groups (per prompt-length bucket x group
+        size x fresh flag) and one dummy decode chunk. All dummy work writes
+        to the null page / out-of-bounds seen rows, so engine state is
+        untouched. Call before submitting requests (not thread-safe with the
+        scheduler loop). On the axon TPU path every distinct program costs a
+        multi-second remote compile — warming here moves that out of the
+        measured serving window.
+        """
+        if group_sizes is None:  # every pow2 group shape the scheduler can form
+            group_sizes = tuple(1 << i for i in range(
+                self.MAX_PREFILL_GROUP.bit_length()))
+        B = self.max_slots
+        for plen in prompt_lens:
+            bucket = self._bucket(max(int(plen), 1))
+            for G in group_sizes:
+                Gp = self._pow2(min(G, self.MAX_PREFILL_GROUP),
+                                self.MAX_PREFILL_GROUP)
+                for fresh in fresh_variants:
+                    prefill = self._prefill_fn((bucket, Gp, fresh))
+                    samp = {k: jnp.asarray(np.repeat(v[:1], Gp))
+                            for k, v in self.samp_host.items()}
+                    self.rng, sk = jax.random.split(self.rng)
+                    self.k_pages, self.v_pages, self.seen, _ = prefill(
+                        self.k_pages, self.v_pages, self.params,
+                        jnp.zeros((Gp, bucket), jnp.int32),
+                        jnp.full((Gp, bucket), -1, jnp.int32),
+                        jnp.zeros((Gp, self.max_pages_per_seq), jnp.int32),
+                        jnp.zeros((Gp,), jnp.int32),
+                        jnp.zeros((Gp,), jnp.int32),
+                        jnp.full((Gp,), B, jnp.int32),   # rows: dropped
+                        self.seen,
+                        jnp.zeros((Gp, self.cfg.vocab_size), bool),
+                        samp, jnp.zeros((Gp,), jnp.int32), sk,
+                    )
+        if decode:
+            self.rng, key = jax.random.split(self.rng)
+            samp = {k: jnp.asarray(v) for k, v in self.samp_host.items()}
+            out = self._decode_fn(
+                self.k_pages, self.v_pages, self.params,
+                jnp.asarray(self.page_tables), self.seen,
+                jnp.asarray(self.last_tok), jnp.asarray(self.seq_lens),
+                jnp.zeros((B,), bool), samp, key,
+                jnp.asarray(self.min_tokens), jnp.asarray(self.prompt_lens),
+            )
+            # inactive rows write nothing (positions < 0 are dropped); rebind
+            # the donated buffers and discard the rest
+            self.k_pages, self.v_pages, self.seen = out[0], out[1], out[2]
+            jax.block_until_ready(self.seen)
 
     def start(self):
         if self._thread is None or not self._thread.is_alive():
@@ -491,8 +556,30 @@ class Engine:
             groups.setdefault(self._bucket(max(len(p["suffix"]), 1)), []).append(p)
         for bucket, grp in sorted(groups.items()):
             for i in range(0, len(grp), self.MAX_PREFILL_GROUP):
-                self._prefill_group(bucket, grp[i : i + self.MAX_PREFILL_GROUP])
+                sub = grp[i : i + self.MAX_PREFILL_GROUP]
+                try:
+                    self._prefill_group(bucket, sub)
+                except Exception as e:
+                    # fail only this group's requests, not the whole engine
+                    import traceback
+
+                    traceback.print_exc()
+                    for p in sub:
+                        self._fail_prepared(p, e)
         return True
+
+    def _fail_prepared(self, p: dict, exc: Exception) -> None:
+        """Release a prepared-but-unprefilled request after a group failure."""
+        slot = p["slot"]
+        fut = slot.future
+        self.allocator.free(slot.shared_pages)
+        self.allocator.free(slot.pages)
+        self.page_tables[slot.idx, :] = (
+            slot.idx if self.cache_mode == "slot" else 0)
+        self.seq_lens[slot.idx] = 0
+        slot.reset()
+        if fut is not None and not fut.done():
+            fut.set_exception(exc)
 
     def _prepare_request(self, slot: _Slot, req: GenerationRequest,
                          fut: Future) -> dict:
@@ -500,7 +587,13 @@ class Engine:
         work — the batched prefill happens in :meth:`_prefill_group`."""
         prompt = list(req.prompt_ids)
         if len(prompt) >= self.max_seq_len:
-            prompt = prompt[-(self.max_seq_len - req.max_tokens - 1):]
+            # keep the prompt tail, reserving room for generation — but never
+            # let an oversized max_tokens flip the slice positive and gut the
+            # prompt (reference keeps the tail too via context-overflow
+            # retry halving, scripts/deep_search.py:376-379)
+            eff_max = max(1, min(req.max_tokens, self.max_seq_len - 1))
+            keep = max(1, self.max_seq_len - eff_max - 1)
+            prompt = prompt[-keep:]
         total_budget = min(len(prompt) + req.max_tokens + self.decode_chunk_len,
                            self.max_seq_len)
 
@@ -567,8 +660,9 @@ class Engine:
         return min(g, cap)
 
     def _prefill_group(self, bucket: int, grp: list[dict]) -> None:
-        """One batched prefill + batched first-token sample for a group of
-        same-bucket requests. Padding rows write to the null page."""
+        """One fused prefill + first-token sample dispatch for a group of
+        same-bucket requests. Padding rows write to the null page and their
+        seen-mask scatters are dropped (row index = max_slots)."""
         t0 = time.monotonic()
         G = len(grp)
         Gp = self._pow2(G, self.MAX_PREFILL_GROUP)
@@ -578,8 +672,8 @@ class Engine:
         tables = np.zeros((Gp, self.max_pages_per_seq), np.int32)
         seq_lens = np.zeros((Gp,), np.int32)
         logits_idx = np.zeros((Gp,), np.int32)
-        rows = np.zeros((G,), np.int32)
-        seen_rows = np.zeros((G, self.cfg.vocab_size), bool)
+        rows = np.full((Gp,), self.max_slots, np.int32)  # pad rows: dropped
+        seen_rows = np.zeros((Gp, self.cfg.vocab_size), bool)
 
         for g, p in enumerate(grp):
             slot, suffix, prompt = p["slot"], p["suffix"], p["prompt"]
@@ -593,35 +687,23 @@ class Engine:
             ids = np.asarray(prompt, np.int64)
             seen_rows[g][ids[ids < self.cfg.vocab_size]] = True
 
+        srows = rows[:G]
+        pad = lambda a: np.concatenate([a, np.repeat(a[-1:], Gp - G)]) if Gp > G else a
+        samp = {k: jnp.asarray(pad(self.samp_host[k][srows]))
+                for k in ("temperature", "top_k", "top_p", "min_p",
+                          "repetition_penalty")}
         fresh = all(p["cached_len"] == 0 for p in grp)
         prefill = self._prefill_fn((bucket, Gp, fresh))
-        span = self.spans.span("prefill_dispatch")
-        span.__enter__()
-        self.k_pages, self.v_pages, logits = prefill(
-            self.k_pages, self.v_pages, self.params,
-            jnp.asarray(tokens), jnp.asarray(positions), jnp.asarray(tables),
-            jnp.asarray(seq_lens), jnp.asarray(logits_idx),
-        )
-        span.__exit__(None, None, None)
-
-        # mark prompt tokens seen (one scatter), then sample the group
-        self.seen = self.seen.at[jnp.asarray(rows)].set(jnp.asarray(seen_rows))
         self.rng, sk = jax.random.split(self.rng)
-        with self.spans.span("prefill_sample"):
-            pad = lambda a: np.concatenate([a, np.repeat(a[-1:], Gp - G)]) if Gp > G else a
-            first = self._sample_jit(
-                logits,
-                *(jnp.asarray(pad(self.samp_host[k][rows])) for k in
-                  ("temperature", "top_k", "top_p", "min_p",
-                   "repetition_penalty")),
-                jnp.asarray(pad(self.min_tokens[rows])),
-                jnp.zeros((Gp,), jnp.int32),
-                self.seen[jnp.asarray(np.concatenate([rows, np.repeat(rows[-1:], Gp - G)])
-                                      if Gp > G else rows)],
-                sk,
+        with self.spans.span("prefill_dispatch"):
+            self.k_pages, self.v_pages, self.seen, first = prefill(
+                self.k_pages, self.v_pages, self.params,
+                jnp.asarray(tokens), jnp.asarray(positions), jnp.asarray(tables),
+                jnp.asarray(seq_lens), jnp.asarray(logits_idx),
+                jnp.asarray(rows), self.seen, jnp.asarray(seen_rows), samp,
+                jnp.asarray(pad(self.min_tokens[srows])), sk,
             )
-        first_np = np.asarray(first[:G])
-        self.seen = self.seen.at[jnp.asarray(rows), jnp.asarray(first_np)].set(True)
+            first_np = np.asarray(first[:G])
 
         n_prefill = 0
         for g, p in enumerate(grp):

@@ -33,6 +33,11 @@ class SpanTimer:
                 self.totals[name] += dt
                 self.counts[name] += 1
 
+    def reset(self) -> None:
+        with self._lock:
+            self.totals.clear()
+            self.counts.clear()
+
     def summary(self) -> dict:
         with self._lock:
             return {

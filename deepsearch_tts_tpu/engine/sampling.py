@@ -62,12 +62,16 @@ def sample(
 ) -> jax.Array:
     """Draw next tokens [B] int32. temperature<=0 rows decode greedily.
 
-    Hot-path design: one ``lax.top_k`` (already sorted descending) replaces
-    the full-vocab sort — top-k/top-p/min-p are masks over the 128-wide
-    sorted window, which is exact whenever the active filters keep ≤128
-    candidates (always true for the reference's top_k=20 settings). Rows
-    with every filter disabled sample over the full vocab via gumbel-argmax
-    (sort-free), so nothing is ever approximated away.
+    Hot-path design: one exact top-``window`` (``approx_max_k`` at
+    recall_target=1.0 — the TPU-native reduction, exact at that setting and
+    faster than lax.top_k's full sort) replaces the full-vocab sort; top-k /
+    top-p / min-p are masks over the sorted window. Top-p mass is computed
+    against the FULL-vocab softmax (via logsumexp), not renormalized over
+    the window. Exactness: top-k is exact for k<=window; top-p is exact
+    whenever the true nucleus fits in the window (for reference settings
+    top_k=20 << 128 the nucleus is capped at 20, always exact); a nucleus
+    wider than the window is truncated at the window edge. Rows with every
+    filter disabled sample over the full vocab via gumbel-argmax.
     """
     B, V = logits.shape
     window = min(window, V)
@@ -82,16 +86,17 @@ def sample(
     scaled = logits / temp
 
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # exact, cheap
-    # approx_max_k is the TPU-native top-k (much faster than lax.top_k's
-    # full sort); aggregate_to_topk gives exact descending order of the set
-    vals, idx = jax.lax.approx_max_k(scaled, window, recall_target=0.95)
+    vals, idx = jax.lax.approx_max_k(scaled, window, recall_target=1.0)
     col = jax.lax.broadcasted_iota(jnp.int32, vals.shape, 1)
 
     keep = jnp.ones_like(vals, bool)
     # top-k: keep first k columns (0 disables)
     keep &= (col < params.top_k[:, None]) | (params.top_k[:, None] <= 0)
-    # top-p over the sorted window: keep while preceding cum-prob < p
-    probs = jax.nn.softmax(vals, axis=-1)
+    # top-p: keep while preceding TRUE cumulative probability < p (mass from
+    # the full-vocab softmax, so the nucleus is not cut early by window
+    # renormalization); column 0 always survives (cum_prev[0] == 0)
+    lse = jax.scipy.special.logsumexp(scaled, axis=-1, keepdims=True)
+    probs = jnp.exp(vals - lse)
     cum_prev = jnp.cumsum(probs, axis=-1) - probs
     keep &= (cum_prev < params.top_p[:, None]) | (params.top_p[:, None] >= 1.0)
     # min-p relative to the max (column 0)

@@ -112,3 +112,96 @@ def test_telemetry(engine):
     t = engine.telemetry()
     assert t["requests"] > 0 and t["decode_tokens"] > 0
     assert "prefix_cache" in t
+
+
+def test_oversized_max_tokens_does_not_gut_prompt_or_kill_engine():
+    """Regression (ADVICE r1, high): a request whose max_tokens+1 >=
+    max_seq_len used to flip the truncation slice positive, overflow the
+    prefill bucket, and crash the whole engine loop — failing unrelated
+    in-flight requests. Now: the bad request degrades gracefully and a
+    concurrent request is unaffected."""
+    eng = Engine("qwen3-test", ByteTokenizer(), max_slots=4, page_size=4,
+                 n_pages=256, max_seq_len=128, decode_chunk_len=4, seed=0)
+    bad = GenerationRequest(prompt_ids=list(range(1, 201)) , max_tokens=128,
+                            temperature=0.0, repetition_penalty=1.0)
+    good = _greedy_req([5, 6, 7, 8], max_tokens=6)
+    fb, fg = eng.submit(bad), eng.submit(good)
+    rg = fg.result(timeout=300)
+    rb = fb.result(timeout=300)
+    eng.shutdown()
+    assert len(rg.token_ids) == 6                       # unaffected
+    assert rb.completion_tokens > 0                     # degraded, not dead
+    assert rb.finish_reason in ("stop", "length")
+
+
+def test_prefill_group_failure_isolated():
+    """A poisoned prefill group fails only its own futures; the engine keeps
+    serving (per-group error isolation in _admit)."""
+    eng = Engine("qwen3-test", ByteTokenizer(), max_slots=4, page_size=4,
+                 n_pages=128, max_seq_len=128, decode_chunk_len=4, seed=0)
+    orig = eng._prefill_group
+    calls = {"n": 0}
+
+    def boom(bucket, grp):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("injected prefill failure")
+        return orig(bucket, grp)
+
+    eng._prefill_group = boom
+    f1 = eng.submit(_greedy_req([1, 2, 3], max_tokens=4))
+    import concurrent.futures
+
+    with pytest.raises(RuntimeError, match="injected"):
+        f1.result(timeout=300)
+    # engine thread must still be alive and serving
+    r2 = eng.generate(_greedy_req([4, 5, 6], max_tokens=4))
+    eng.shutdown()
+    assert len(r2.token_ids) == 4
+
+
+def test_warmup_precompiles_and_preserves_outputs():
+    """warmup() must not change served results (dummy work is dropped), and
+    must leave the prefill jit cache populated for the warmed shapes."""
+    tk = ByteTokenizer()
+    ref = Engine("qwen3-test", tk, max_slots=4, page_size=4, n_pages=128,
+                 max_seq_len=128, decode_chunk_len=4, seed=0)
+    r_ref = ref.generate(_greedy_req([9, 8, 7, 6, 5], max_tokens=6))
+    ref.shutdown()
+
+    eng = Engine("qwen3-test", tk, max_slots=4, page_size=4, n_pages=128,
+                 max_seq_len=128, decode_chunk_len=4, seed=0)
+    eng.warmup(prompt_lens=(5,), group_sizes=(1, 4))
+    assert ((16, 1, True) in eng._jit_cache and (16, 4, True) in eng._jit_cache)
+    r = eng.generate(_greedy_req([9, 8, 7, 6, 5], max_tokens=6))
+    eng.shutdown()
+    assert r.token_ids == r_ref.token_ids
+
+
+def test_fresh_prefill_path_used_and_correct():
+    """Regression (ADVICE r1, medium): the fresh_prefill flag is actually
+    passed into the model forward (it was dead — computed but dropped).
+    Greedy output through the fresh path must match a prefix-cached engine's
+    output for the same prompt."""
+    from deepsearch_tts_tpu.models.qwen3 import forward as q3_forward
+
+    seen_flags = []
+
+    def spy(params, cfg, tokens, positions, **kw):
+        if kw.get("k_pages") is not None and tokens.shape[1] > 1:  # prefill
+            seen_flags.append(kw.get("fresh_prefill", False))
+        return q3_forward(params, cfg, tokens, positions, **kw)
+
+    eng = Engine("qwen3-test", ByteTokenizer(), max_slots=2, page_size=4,
+                 n_pages=128, max_seq_len=128, decode_chunk_len=4, seed=0)
+    eng.forward = spy  # _prefill_fn reads self.forward at trace time
+    r1 = eng.generate(_greedy_req(list(range(20, 40)), max_tokens=6))
+    eng.shutdown()
+    assert seen_flags and seen_flags[0] is True, \
+        f"fresh_prefill not engaged: {seen_flags}"
+
+    # fresh-path first token must match the oracle full forward
+    toks = jnp.asarray([list(range(20, 40))], jnp.int32)
+    pos = jnp.arange(20, dtype=jnp.int32)[None]
+    logits, _ = forward(eng.params, CFG, toks, pos)
+    assert r1.token_ids[0] == int(jnp.argmax(logits[0, -1]))
