@@ -23,3 +23,19 @@ run unchanged.
 """
 
 __version__ = "0.1.0"
+
+# Honor JAX_PLATFORMS=cpu even under environments whose sitecustomize
+# force-registers a TPU backend and overrides the env var (the env-var path
+# is consulted before site customization wins; jax.config after import is
+# authoritative as long as no backend has initialized yet). This makes
+# `JAX_PLATFORMS=cpu python -m deepsearch_tts_tpu.cli.serve ...` actually
+# run on CPU instead of silently claiming the TPU.
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+    import jax as _jax
+
+    try:
+        _jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass

@@ -194,6 +194,16 @@ class HTTPClient:
             "top_p": opts.get("top_p", 0.8),
             "max_tokens": opts.get("max_tokens", 4096),
         }
+        # forward stop semantics + extra sampler knobs so the explorer's
+        # in-band stop contract holds server-side too (reference forwards
+        # these carefully: scripts/deep_search.py:295-316)
+        if opts.get("stop"):
+            payload["stop"] = list(opts["stop"])
+            payload["include_stop_str_in_output"] = bool(
+                opts.get("include_stop_str_in_output", False))
+        for k in ("top_k", "min_p", "repetition_penalty", "min_tokens"):
+            if k in opts:
+                payload[k] = opts[k]
         if tools:
             payload["tools"] = list(tools)
             payload["tool_choice"] = opts.get("tool_choice", "auto")

@@ -220,7 +220,11 @@ class PolicyAgent:
             if resp.finish_reason == "stop" and has_boxed:
                 return self._finish(self._first_boxed(content), messages,
                                     search_results, mode, search_calls)
-            if search_calls >= max_search_calls and iteration > max_search_calls + 5:
+            # last-iteration fallback: budget exhausted and this is the final
+            # pass before the iteration cap — return the best-effort answer
+            # instead of an error row (was unreachable in r1: the cap check at
+            # the loop head fired first)
+            if search_calls >= max_search_calls and iteration >= max_iterations:
                 ans = self._first_boxed(content) if has_boxed else content
                 return self._finish(ans, messages, search_results, mode, search_calls)
 

@@ -48,6 +48,7 @@ class BatchRunner:
                   result_file: str | None = None) -> list[dict]:
         os.makedirs(self.output_dir, exist_ok=True)
         result_file = result_file or self.result_path()
+        self.last_result_file = result_file  # the path actually written
         sem = asyncio.Semaphore(self.concurrent_limit)
         lock = asyncio.Lock()
         done: list[dict] = []

@@ -210,7 +210,8 @@ def main(argv=None):
         stats.engine_stats = engine.telemetry()
         engine.shutdown()
     stats_path = stats.save(args.output_dir, ts)
-    print(f"Processed {len(results)} problems -> {runner.result_path(ts)}")
+    print(f"Processed {len(results)} problems -> "
+          f"{getattr(runner, 'last_result_file', runner.result_path(ts))}")
     print(f"Statistics -> {stats_path}")
     summary = stats.summary()
     print(json.dumps({"api_counters": summary["api_counters"],

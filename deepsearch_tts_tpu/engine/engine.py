@@ -41,7 +41,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.registry import get_model
-from .kvcache import PageAllocator, init_kv_pages
+from .kvcache import PageAllocator
 from .sampling import SamplingParams, sample, update_seen
 from .stopping import StopState
 
@@ -175,10 +175,18 @@ class Engine:
             enable_prefix_cache = False
 
         cfgv = self.cfg
-        self.k_pages, self.v_pages = init_kv_pages(
-            cfgv.n_layers, n_pages, page_size, cfgv.n_kv_heads, cfgv.head_dim,
-            dtype=cfgv.jnp_dtype,
-        )
+        self.latent_cache = bool(getattr(cfgv, "latent_cache", False))
+        kshape = (cfgv.n_layers, n_pages, page_size, cfgv.n_kv_heads,
+                  cfgv.head_dim)
+        self.k_pages = jnp.zeros(kshape, cfgv.jnp_dtype)
+        if self.latent_cache:
+            # MLA: one latent row per token lives in k_pages only; keep a
+            # 1-page dummy v pool so the (k, v) engine plumbing is uniform
+            # without doubling the cache's HBM footprint (ADVICE r1).
+            self.v_pages = jnp.zeros((cfgv.n_layers, 1) + kshape[2:],
+                                     cfgv.jnp_dtype)
+        else:
+            self.v_pages = jnp.zeros(kshape, cfgv.jnp_dtype)
         if mesh is not None:
             # multi-chip serving: params laid out per the rules table (TP over
             # heads/mlp, EP over experts), KV pools sharded over the kv-head
@@ -189,7 +197,13 @@ class Engine:
 
             rules = rules or SERVING_RULES
             params = shard_pytree(params, fam.logical_axes(), mesh, rules)
-            kv_spec = P(None, None, None, rules.axis("kv_heads"), None)
+            kv_axis = rules.axis("kv_heads")
+            if kv_axis is not None:
+                axes = (kv_axis,) if isinstance(kv_axis, str) else tuple(kv_axis)
+                tp_size = int(np.prod([mesh.shape[a] for a in axes]))
+                if cfgv.n_kv_heads % max(tp_size, 1):
+                    kv_axis = None  # e.g. MLA's single latent head: replicate
+            kv_spec = P(None, None, None, kv_axis, None)
             kv_sharding = NamedSharding(mesh, kv_spec)
             self.k_pages = jax.device_put(self.k_pages, kv_sharding)
             self.v_pages = jax.device_put(self.v_pages, kv_sharding)

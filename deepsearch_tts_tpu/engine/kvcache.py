@@ -60,6 +60,25 @@ def write_kv_flat(
     return kf.reshape(LN, ps, K, D), vf.reshape(LN, ps, K, D)
 
 
+def write_rows_flat(
+    flat: jax.Array,        # [L*N, ps, K, D] one flattened all-layer pool
+    rows: jax.Array,        # [B, T, K, D]
+    positions: jax.Array,   # [B, T]; <0 ⇒ padding (dropped)
+    table_l: jax.Array,     # [B, P] page ids ALREADY offset by layer*N
+) -> jax.Array:
+    """Single-pool variant of :func:`write_kv_flat` — used by MLA families
+    whose cache holds one latent row per token (no separate V pool), halving
+    cache HBM footprint and scatter bandwidth."""
+    LN, ps, K, D = flat.shape
+    pad = positions < 0
+    pos = jnp.maximum(positions, 0)
+    page_idx = jnp.take_along_axis(table_l, pos // ps, axis=1)
+    idx = jnp.where(pad, LN * ps, page_idx * ps + pos % ps).reshape(-1)
+    f = flat.reshape(LN * ps, K, D)
+    f = f.at[idx].set(rows.reshape(-1, K, D).astype(f.dtype), mode="drop")
+    return f.reshape(LN, ps, K, D)
+
+
 def write_kv_layer(
     k_pages_l: jax.Array,   # [N, ps, K, D] one layer's pool
     v_pages_l: jax.Array,

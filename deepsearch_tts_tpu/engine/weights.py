@@ -167,15 +167,35 @@ def convert_qwen3_moe(raw: dict[str, np.ndarray], cfg) -> dict:
     return params
 
 
+def _deinterleave_rope_cols(w: np.ndarray, r: int) -> np.ndarray:
+    """Permute the last ``r`` columns from interleaved (x0,y0,x1,y1,...) to
+    half-split (x0,x1,...,y0,y1,...) rope layout.
+
+    Published DeepSeek-V3/Kimi-K2 checkpoints store the rope dims of
+    q_b_proj / kv_a_proj_with_mqa interleaved; HF's modeling_deepseek
+    un-interleaves the activations at runtime (view(d//2, 2).transpose)
+    before rotate_half, and vLLM loads these models with
+    is_neox_style=False. Our apply_rope is neox (half-split), so the
+    permutation is folded into the weights once at conversion time.
+    """
+    perm = np.concatenate([np.arange(0, r, 2), np.arange(1, r, 2)])
+    out = np.array(w)
+    out[..., -r:] = out[..., -r:][..., perm]
+    return out
+
+
 def convert_deepseek_v3(raw: dict[str, np.ndarray], cfg) -> dict:
     """HF DeepSeek-V3/Kimi-K2 checkpoint → two-stack MLA pytree.
 
     Splits kv_b_proj into the key (absorbed) and value up-projections and
-    partitions layers into dense (first_k_dense) and MoE stacks.
+    partitions layers into dense (first_k_dense) and MoE stacks. Rope
+    columns of w_qb / w_kva are de-interleaved to neox layout (see
+    :func:`_deinterleave_rope_cols`).
     """
     dt = jnp.bfloat16
     H = cfg.n_heads
     QN, VD, KL = cfg.qk_nope_head_dim, cfg.v_head_dim, cfg.kv_lora_rank
+    QR = cfg.qk_rope_head_dim
     LD, L = cfg.first_k_dense, cfg.n_layers
     NE, SH = cfg.n_routed_experts, cfg.n_shared_experts
 
@@ -190,8 +210,13 @@ def convert_deepseek_v3(raw: dict[str, np.ndarray], cfg) -> dict:
             out["ln2"].append(g(i, "post_attention_layernorm.weight"))
             out["w_qa"].append(g(i, "self_attn.q_a_proj.weight").T)
             out["q_a_norm"].append(g(i, "self_attn.q_a_layernorm.weight"))
-            out["w_qb"].append(g(i, "self_attn.q_b_proj.weight").T)
-            out["w_kva"].append(g(i, "self_attn.kv_a_proj_with_mqa.weight").T)
+            qb = g(i, "self_attn.q_b_proj.weight").T  # [QL, H*(QN+QR)]
+            qb = _deinterleave_rope_cols(
+                qb.reshape(qb.shape[0], H, QN + QR), QR
+            ).reshape(qb.shape)
+            out["w_qb"].append(qb)
+            out["w_kva"].append(_deinterleave_rope_cols(
+                g(i, "self_attn.kv_a_proj_with_mqa.weight").T, QR))
             out["kv_a_norm"].append(g(i, "self_attn.kv_a_layernorm.weight"))
             kvb = g(i, "self_attn.kv_b_proj.weight").T.reshape(KL, H, QN + VD)
             out["w_kb"].append(kvb[:, :, :QN].reshape(KL, H * QN))

@@ -66,7 +66,11 @@ class DeepSeekV3Config:
     def jnp_dtype(self):
         return jnp.dtype(self.dtype)
 
-    # engine KV-pool layout: MQA-form latent cache
+    # engine KV-pool layout: MQA-form latent cache. latent_cache tells the
+    # engine the model writes/reads ONLY k_pages (one latent row per token);
+    # the engine then allocates a 1-page dummy v pool instead of a full one.
+    latent_cache: bool = True
+
     @property
     def n_kv_heads(self) -> int:  # cache heads
         return 1
@@ -298,8 +302,10 @@ def forward(
     slot_decode: bool = False,
     fresh_prefill: bool = False,
 ):
-    """Same serving/training contract as models/qwen3.forward."""
-    from ..engine.kvcache import write_kv_flat
+    """Same serving/training contract as models/qwen3.forward, except the
+    cache is latent-only: rows go into k_pages exclusively and v_pages is
+    threaded through untouched (the engine allocates it as a 1-page dummy)."""
+    from ..engine.kvcache import write_rows_flat
 
     serving = k_pages is not None
     x = jnp.take(params["embed"], tokens, axis=0)
@@ -316,14 +322,14 @@ def forward(
     def make_body(mlp_fn, serving):
         def body(carry, lp):
             if serving:
-                x, kpf, vpf, layer = carry
+                x, kpf, layer = carry
             else:
                 x = carry
             h = rms_norm(x, lp["ln1"], cfg.rms_eps)
             q_eff, rows = _mla_qk(cfg, lp, h, cos, sin)
             if serving:
                 table_l = page_table + layer * N
-                kpf, vpf = write_kv_flat(kpf, vpf, rows, rows, positions, table_l)
+                kpf = write_rows_flat(kpf, rows, positions, table_l)
                 if fresh_prefill:
                     attn = attn_ops.causal_attention(
                         q_eff, rows, rows[..., :KL], scale=scale, impl="xla")
@@ -343,7 +349,7 @@ def forward(
             x = x + _mla_out(cfg, lp, attn, x.dtype)
             h2 = rms_norm(x, lp["ln2"], cfg.rms_eps)
             x = x + mlp_fn(lp, h2)
-            return ((x, kpf, vpf, layer + 1) if serving else x), None
+            return ((x, kpf, layer + 1) if serving else x), None
         return body
 
     dense_body = make_body(lambda lp, h2: _dense_mlp(lp, h2), serving)
@@ -352,12 +358,10 @@ def forward(
     if serving:
         L = k_pages.shape[0]
         kpf = k_pages.reshape((L * N,) + k_pages.shape[2:])
-        vpf = v_pages.reshape((L * N,) + v_pages.shape[2:])
-        carry = (x, kpf, vpf, jnp.zeros((), jnp.int32))
+        carry = (x, kpf, jnp.zeros((), jnp.int32))
         carry, _ = jax.lax.scan(dense_body, carry, params["dense_layers"])
-        (x, kpf, vpf, _), _ = jax.lax.scan(moe_body, carry, params["moe_layers"])
+        (x, kpf, _), _ = jax.lax.scan(moe_body, carry, params["moe_layers"])
         k_pages = kpf.reshape(k_pages.shape)
-        v_pages = vpf.reshape(v_pages.shape)
     else:
         x, _ = jax.lax.scan(dense_body, x, params["dense_layers"])
         x, _ = jax.lax.scan(moe_body, x, params["moe_layers"])

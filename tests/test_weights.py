@@ -79,3 +79,138 @@ def test_transpose_convention(tmp_path):
     np.testing.assert_allclose(
         np.asarray(params["layers"]["wq"][0], np.float32), hf_wq.T.astype(np.float32),
         rtol=1e-2, atol=1e-2)
+
+
+def _moe_ckpt(cfg):
+    rng = np.random.default_rng(1)
+    E, H, K, D = cfg.hidden, cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+    NE, F = cfg.n_experts, cfg.moe_intermediate
+    t = {"model.embed_tokens.weight": rng.standard_normal((cfg.vocab_size, E)) * 0.02,
+         "model.norm.weight": np.ones((E,))}
+    for i in range(cfg.n_layers):
+        p = f"model.layers.{i}."
+        t[p + "input_layernorm.weight"] = np.ones((E,))
+        t[p + "post_attention_layernorm.weight"] = np.ones((E,))
+        t[p + "self_attn.q_norm.weight"] = np.ones((D,))
+        t[p + "self_attn.k_norm.weight"] = np.ones((D,))
+        t[p + "self_attn.q_proj.weight"] = rng.standard_normal((H * D, E)) * 0.02
+        t[p + "self_attn.k_proj.weight"] = rng.standard_normal((K * D, E)) * 0.02
+        t[p + "self_attn.v_proj.weight"] = rng.standard_normal((K * D, E)) * 0.02
+        t[p + "self_attn.o_proj.weight"] = rng.standard_normal((E, H * D)) * 0.02
+        t[p + "mlp.gate.weight"] = rng.standard_normal((NE, E)) * 0.02
+        for e in range(NE):
+            q = f"{p}mlp.experts.{e}."
+            t[q + "gate_proj.weight"] = rng.standard_normal((F, E)) * 0.02
+            t[q + "up_proj.weight"] = rng.standard_normal((F, E)) * 0.02
+            t[q + "down_proj.weight"] = rng.standard_normal((E, F)) * 0.02
+    return t
+
+
+def test_moe_roundtrip(tmp_path):
+    """convert_qwen3_moe: shapes, transpose convention, finite forward
+    (regression: the MoE converter had zero coverage in r1)."""
+    from deepsearch_tts_tpu.engine.weights import (_load_safetensors_dir,
+                                                   convert_qwen3_moe)
+    from deepsearch_tts_tpu.models.qwen3_moe import QWEN3_MOE_CONFIGS, forward
+
+    cfg = QWEN3_MOE_CONFIGS["qwen3-moe-test"]
+    ckpt = _moe_ckpt(cfg)
+    _write_safetensors(tmp_path / "m.safetensors", ckpt)
+    params = convert_qwen3_moe(_load_safetensors_dir(str(tmp_path)), cfg)
+    L, NE, E, F = cfg.n_layers, cfg.n_experts, cfg.hidden, cfg.moe_intermediate
+    assert params["layers"]["w_gate"].shape == (L, NE, E, F)
+    assert params["layers"]["router"].shape == (L, E, NE)
+    np.testing.assert_allclose(
+        np.asarray(params["layers"]["router"][0], np.float32),
+        ckpt["model.layers.0.mlp.gate.weight"].T.astype(np.float32), atol=1e-2)
+    np.testing.assert_allclose(
+        np.asarray(params["layers"]["w_down"][1][3], np.float32),
+        ckpt["model.layers.1.mlp.experts.3.down_proj.weight"].T.astype(np.float32),
+        atol=1e-2)
+    tokens = jnp.zeros((1, 4), jnp.int32)
+    pos = jnp.arange(4, dtype=jnp.int32)[None]
+    logits, _ = forward(params, cfg, tokens, pos)
+    assert bool(jnp.isfinite(logits).all())
+
+
+def _mla_ckpt(cfg):
+    rng = np.random.default_rng(2)
+    E, H = cfg.hidden, cfg.n_heads
+    QL, KL = cfg.q_lora_rank, cfg.kv_lora_rank
+    QN, QR, VD = cfg.qk_nope_head_dim, cfg.qk_rope_head_dim, cfg.v_head_dim
+    NE, F, FD, SH = (cfg.n_routed_experts, cfg.moe_intermediate,
+                     cfg.dense_intermediate, cfg.n_shared_experts)
+    t = {"model.embed_tokens.weight": rng.standard_normal((cfg.vocab_size, E)) * 0.02,
+         "model.norm.weight": np.ones((E,))}
+    for i in range(cfg.n_layers):
+        p = f"model.layers.{i}."
+        t[p + "input_layernorm.weight"] = np.ones((E,))
+        t[p + "post_attention_layernorm.weight"] = np.ones((E,))
+        t[p + "self_attn.q_a_proj.weight"] = rng.standard_normal((QL, E)) * 0.02
+        t[p + "self_attn.q_a_layernorm.weight"] = np.ones((QL,))
+        t[p + "self_attn.q_b_proj.weight"] = rng.standard_normal((H * (QN + QR), QL)) * 0.02
+        t[p + "self_attn.kv_a_proj_with_mqa.weight"] = rng.standard_normal((KL + QR, E)) * 0.02
+        t[p + "self_attn.kv_a_layernorm.weight"] = np.ones((KL,))
+        t[p + "self_attn.kv_b_proj.weight"] = rng.standard_normal((H * (QN + VD), KL)) * 0.02
+        t[p + "self_attn.o_proj.weight"] = rng.standard_normal((E, H * VD)) * 0.02
+        if i < cfg.first_k_dense:
+            t[p + "mlp.gate_proj.weight"] = rng.standard_normal((FD, E)) * 0.02
+            t[p + "mlp.up_proj.weight"] = rng.standard_normal((FD, E)) * 0.02
+            t[p + "mlp.down_proj.weight"] = rng.standard_normal((E, FD)) * 0.02
+        else:
+            t[p + "mlp.gate.weight"] = rng.standard_normal((NE, E)) * 0.02
+            t[p + "mlp.gate.e_score_correction_bias"] = rng.standard_normal((NE,)) * 0.1
+            for e in range(NE):
+                q = f"{p}mlp.experts.{e}."
+                t[q + "gate_proj.weight"] = rng.standard_normal((F, E)) * 0.02
+                t[q + "up_proj.weight"] = rng.standard_normal((F, E)) * 0.02
+                t[q + "down_proj.weight"] = rng.standard_normal((E, F)) * 0.02
+            t[p + "mlp.shared_experts.gate_proj.weight"] = rng.standard_normal((F * SH, E)) * 0.02
+            t[p + "mlp.shared_experts.up_proj.weight"] = rng.standard_normal((F * SH, E)) * 0.02
+            t[p + "mlp.shared_experts.down_proj.weight"] = rng.standard_normal((E, F * SH)) * 0.02
+    return t
+
+
+def test_mla_roundtrip(tmp_path):
+    """convert_deepseek_v3: kv_b split, stacks, finite forward (regression:
+    the MLA converter had zero coverage in r1)."""
+    from deepsearch_tts_tpu.engine.weights import (_load_safetensors_dir,
+                                                   convert_deepseek_v3)
+    from deepsearch_tts_tpu.models.deepseek_v3 import DEEPSEEK_V3_CONFIGS, forward
+
+    cfg = DEEPSEEK_V3_CONFIGS["deepseek-v3-test"]
+    ckpt = _mla_ckpt(cfg)
+    _write_safetensors(tmp_path / "m.safetensors", ckpt)
+    params = convert_deepseek_v3(_load_safetensors_dir(str(tmp_path)), cfg)
+    H, KL = cfg.n_heads, cfg.kv_lora_rank
+    QN, VD = cfg.qk_nope_head_dim, cfg.v_head_dim
+    LD, LM = cfg.first_k_dense, cfg.n_layers - cfg.first_k_dense
+    assert params["dense_layers"]["w_kb"].shape == (LD, KL, H * QN)
+    assert params["moe_layers"]["w_vb"].shape == (LM, KL, H * VD)
+    # kv_b split: w_kb row r, head h must equal kv_b rows for head h's K part
+    kvb = ckpt["model.layers.0.self_attn.kv_b_proj.weight"].T.reshape(KL, H, QN + VD)
+    np.testing.assert_allclose(
+        np.asarray(params["dense_layers"]["w_kb"][0], np.float32).reshape(KL, H, QN),
+        kvb[:, :, :QN].astype(np.float32), atol=1e-2)
+    tokens = jnp.zeros((1, 4), jnp.int32)
+    pos = jnp.arange(4, dtype=jnp.int32)[None]
+    logits, _ = forward(params, cfg, tokens, pos)
+    assert bool(jnp.isfinite(logits).all())
+
+
+def test_mla_rope_deinterleave():
+    """The converter's rope column permutation must reproduce HF
+    modeling_deepseek's runtime un-interleave (view(d//2,2).transpose) so
+    that our neox apply_rope sees the layout HF's rotate_half sees."""
+    from deepsearch_tts_tpu.engine.weights import _deinterleave_rope_cols
+
+    rng = np.random.default_rng(3)
+    r, n_in = 8, 16
+    W = rng.standard_normal((n_in, 4 + r))  # 4 non-rope cols + r rope cols
+    x = rng.standard_normal((n_in,))
+    raw = x @ W
+    # HF runtime un-interleave of the activation's rope dims
+    hf_rope = raw[4:].reshape(r // 2, 2).T.reshape(r)
+    ours = x @ _deinterleave_rope_cols(W, r)
+    np.testing.assert_allclose(ours[4:], hf_rope, rtol=1e-12)
+    np.testing.assert_allclose(ours[:4], raw[:4], rtol=1e-12)
