@@ -78,6 +78,8 @@ def main():
     PS = int(os.environ.get("BENCH_PS", 64))
     CACHE_MODE = os.environ.get("BENCH_CACHE", "paged")  # paged | slot
     QUANT = os.environ.get("BENCH_QUANT") or None        # int8
+    PACK = {"1": True, "0": False}.get(os.environ.get("BENCH_PACK", ""))  # None=auto
+    BUCKETS = os.environ.get("BENCH_BUCKETS", "1") == "1"  # ctx-sliced decode
 
     from deepsearch_tts_tpu.engine.weights import fast_random_params
 
@@ -88,6 +90,7 @@ def main():
         max_slots=B, page_size=PS, n_pages=B * (512 // PS) + 1, max_seq_len=512,
         decode_chunk_len=CHUNK, seed=0, enable_prefix_cache=False,
         attn_impl=ATTN, cache_mode=CACHE_MODE, quantize=QUANT,
+        pack_weights=PACK, context_buckets=BUCKETS,
     )
     init_s = time.monotonic() - t_init
 

@@ -122,6 +122,8 @@ class Engine:
         attn_impl: str | None = None,
         cache_mode: str = "paged",   # "paged" (prefix sharing) | "slot"
         quantize: str | None = None,  # "int8" quantizes matmul weights
+        pack_weights: bool | None = None,  # fuse QKV / gate+up (single-chip)
+        context_buckets: bool = True,  # slice decode page tables to pow2 need
         seed: int = 0,
         enable_prefix_cache: bool = True,
     ):
@@ -139,6 +141,7 @@ class Engine:
         # admissions per scheduler iteration: default = all free slots
         # (max throughput); lower for tighter decode latency under load
         self.admit_batch = admit_batch if admit_batch is not None else max_slots
+        self.context_buckets = context_buckets
         if attn_impl is None:
             # measured on v5e (1.5B, batch 64, ctx ≤512): XLA's fused
             # gather+attention beats both pallas paged kernels for decode at
@@ -151,6 +154,27 @@ class Engine:
 
         if params is None:
             params = fam.init_params(self.cfg, jax.random.PRNGKey(seed))
+        self.packed = False
+        if pack_weights is None:
+            # A/B on the axon v5e: packing shaves decode dispatch on CPU
+            # (34 -> 25 ms) but is within noise on the TPU tunnel and
+            # correlates with a first-dispatch stall there — default it off
+            # on TPU, on elsewhere.
+            from ..utils import is_tpu_backend
+
+            pack_weights = not is_tpu_backend()
+        if pack_weights and mesh is None:
+            # single-chip serving: fuse QKV + dense gate/up into one matmul
+            # each — decode is per-layer-launch-overhead-bound at small
+            # batch, and packing is numerically identity. (Skipped under a
+            # mesh: TP would split a packed matrix unevenly across q/k/v.)
+            from .weights import pack_matmul_params
+
+            new = pack_matmul_params(params)
+            self.packed = new is not params and (
+                "wqkv" in new.get("layers", {})
+                or "w_gateup" in new.get("layers", {}))
+            params = new
         if quantize == "int8":
             # halve weight-read bandwidth (dequant fused into the MXU
             # epilogue); norms/embeddings stay bf16; routed-expert weights
@@ -258,6 +282,19 @@ class Engine:
         self._decode_fn = self._build_decode_fn()
 
     # ---------------------------------------------------------------- jit fns
+
+    def _decode_buckets(self) -> list[int]:
+        """Pow2 page-count buckets up to the per-seq page budget."""
+        cap = self.max_pages_per_seq
+        if not self.context_buckets:
+            return [cap]
+        out = []
+        b = 1
+        while b < cap:
+            out.append(b)
+            b *= 2
+        out.append(cap)
+        return out
 
     def _build_decode_fn(self):
         cfg, fwd = self.cfg, self.forward
@@ -390,7 +427,16 @@ class Engine:
                 return ad
             lora = jax.tree.map(rescale, lora,
                                 is_leaf=lambda v: isinstance(v, dict) and "a" in v)
-        self.params = apply_lora(self.params, lora)
+        params = self.params
+        if self.packed:
+            # adapters target the unpacked layout; unpack, merge, repack
+            from .weights import pack_matmul_params, unpack_matmul_params
+
+            params = unpack_matmul_params(params, self.cfg)
+        params = apply_lora(params, lora)
+        if self.packed:
+            params = pack_matmul_params(params)
+        self.params = params
 
     def warmup(self, prompt_lens=(128,), group_sizes=None, decode=True,
                fresh_variants=(True,)) -> None:
@@ -431,18 +477,20 @@ class Engine:
                         samp, jnp.zeros((Gp,), jnp.int32), sk,
                     )
         if decode:
-            self.rng, key = jax.random.split(self.rng)
-            samp = {k: jnp.asarray(v) for k, v in self.samp_host.items()}
-            out = self._decode_fn(
-                self.k_pages, self.v_pages, self.params,
-                jnp.asarray(self.page_tables), self.seen,
-                jnp.asarray(self.last_tok), jnp.asarray(self.seq_lens),
-                jnp.zeros((B,), bool), samp, key,
-                jnp.asarray(self.min_tokens), jnp.asarray(self.prompt_lens),
-            )
-            # inactive rows write nothing (positions < 0 are dropped); rebind
-            # the donated buffers and discard the rest
-            self.k_pages, self.v_pages, self.seen = out[0], out[1], out[2]
+            widths = [1] if self.cache_mode == "slot" else self._decode_buckets()
+            for p_cur in widths:
+                self.rng, key = jax.random.split(self.rng)
+                samp = {k: jnp.asarray(v) for k, v in self.samp_host.items()}
+                out = self._decode_fn(
+                    self.k_pages, self.v_pages, self.params,
+                    jnp.asarray(self.page_tables[:, :p_cur]), self.seen,
+                    jnp.asarray(self.last_tok), jnp.asarray(self.seq_lens),
+                    jnp.zeros((B,), bool), samp, key,
+                    jnp.asarray(self.min_tokens), jnp.asarray(self.prompt_lens),
+                )
+                # inactive rows write nothing (positions < 0 are dropped);
+                # rebind the donated buffers and discard the rest
+                self.k_pages, self.v_pages, self.seen = out[0], out[1], out[2]
             jax.block_until_ready(self.seen)
 
     def start(self):
@@ -771,13 +819,27 @@ class Engine:
 
         if not active.any():
             return
+        # context-bucketed page table: the XLA attention path gathers all P
+        # passed pages per layer, so slice to a pow2 bucket covering the
+        # longest active sequence (+ this chunk) — early decode then moves
+        # 2-4x less HBM traffic. jit re-specializes per width (precompiled
+        # by warmup()).
+        p_cur = self.max_pages_per_seq
+        if self.cache_mode != "slot" and self.context_buckets:
+            need = int(np.max(np.where(active, self.seq_lens, 0))) \
+                + self.decode_chunk_len + 1
+            need_pages = -(-need // self.page_size)
+            for b in self._decode_buckets():
+                if b >= need_pages:
+                    p_cur = b
+                    break
         self.rng, key = jax.random.split(self.rng)
         samp = {k: jnp.asarray(v) for k, v in self.samp_host.items()}
         span = self.spans.span("decode_dispatch")
         span.__enter__()
         (self.k_pages, self.v_pages, self.seen, last, lens, toks) = self._decode_fn(
             self.k_pages, self.v_pages, self.params,
-            jnp.asarray(self.page_tables), self.seen,
+            jnp.asarray(self.page_tables[:, :p_cur]), self.seen,
             jnp.asarray(self.last_tok), jnp.asarray(self.seq_lens),
             jnp.asarray(active), samp, key,
             jnp.asarray(self.min_tokens), jnp.asarray(self.prompt_lens),

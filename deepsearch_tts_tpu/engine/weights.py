@@ -270,6 +270,55 @@ def convert_deepseek_v3(raw: dict[str, np.ndarray], cfg) -> dict:
     return params
 
 
+def pack_matmul_params(params: dict) -> dict:
+    """Fuse per-layer QKV (and dense gate/up) weights into single matmuls.
+
+    Decode at batch<=64 is launch-overhead-bound per layer: three [B,E]@[E,*]
+    projections cost three MXU ops' fixed overhead for the same bytes as
+    one. Packing is numerically identity (a concat over output columns) and
+    is applied by the engine for single-chip serving only — TP sharding of
+    a packed matrix would split q/k/v unevenly across chips. Models accept
+    either layout (``wqkv`` / ``w_gateup`` keys take priority when present).
+    """
+    if "layers" not in params:
+        return params  # MLA families keep two-stage projections
+    lp = dict(params["layers"])
+    if all(k in lp and isinstance(lp[k], jnp.ndarray) for k in ("wq", "wk", "wv")):
+        lp["wqkv"] = jnp.concatenate(
+            [lp.pop("wq"), lp.pop("wk"), lp.pop("wv")], axis=-1)
+    if ("w_gate" in lp and isinstance(lp["w_gate"], jnp.ndarray)
+            and lp["w_gate"].ndim == 3):  # dense MLP only, not expert stacks
+        lp["w_gateup"] = jnp.concatenate(
+            [lp.pop("w_gate"), lp.pop("w_up")], axis=-1)
+    out = dict(params)
+    out["layers"] = lp
+    return out
+
+
+def unpack_matmul_params(params: dict, cfg) -> dict:
+    """Inverse of :func:`pack_matmul_params` (plain-array weights only)."""
+    if "layers" not in params:
+        return params
+    lp = dict(params["layers"])
+    if "wqkv" in lp:
+        w = lp.pop("wqkv")
+        if isinstance(w, dict):
+            raise ValueError("cannot unpack int8-quantized packed weights")
+        hd = cfg.n_heads * cfg.head_dim
+        kd = cfg.n_kv_heads * cfg.head_dim
+        lp["wq"], lp["wk"], lp["wv"] = (
+            w[..., :hd], w[..., hd:hd + kd], w[..., hd + kd:])
+    if "w_gateup" in lp:
+        w = lp.pop("w_gateup")
+        if isinstance(w, dict):
+            raise ValueError("cannot unpack int8-quantized packed weights")
+        F = cfg.intermediate
+        lp["w_gate"], lp["w_up"] = w[..., :F], w[..., F:]
+    out = dict(params)
+    out["layers"] = lp
+    return out
+
+
 def load_or_init_params(model_name: str, weights_path: str = "",
                         seed: int = 0) -> tuple[dict, str]:
     """Return (params, resolved model name). Random init when no weights."""

@@ -127,9 +127,15 @@ def _block(cfg: Qwen3Config, lp: dict, x, cos, sin, attend):
     H, K, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
 
     h = rms_norm(x, lp["ln1"], cfg.rms_eps)
-    q = maybe_int8_dot(h, lp["wq"]).reshape(B, T, H, D)
-    k = maybe_int8_dot(h, lp["wk"]).reshape(B, T, K, D)
-    v = maybe_int8_dot(h, lp["wv"]).reshape(B, T, K, D)
+    if "wqkv" in lp:  # packed layout (engine.pack_weights)
+        qkv = maybe_int8_dot(h, lp["wqkv"])
+        q = qkv[..., : H * D].reshape(B, T, H, D)
+        k = qkv[..., H * D : (H + K) * D].reshape(B, T, K, D)
+        v = qkv[..., (H + K) * D :].reshape(B, T, K, D)
+    else:
+        q = maybe_int8_dot(h, lp["wq"]).reshape(B, T, H, D)
+        k = maybe_int8_dot(h, lp["wk"]).reshape(B, T, K, D)
+        v = maybe_int8_dot(h, lp["wv"]).reshape(B, T, K, D)
     q = rms_norm(q, lp["q_norm"], cfg.rms_eps)
     k = rms_norm(k, lp["k_norm"], cfg.rms_eps)
     q = apply_rope(q, cos, sin)
@@ -140,8 +146,13 @@ def _block(cfg: Qwen3Config, lp: dict, x, cos, sin, attend):
     x = x + o.astype(x.dtype)
 
     h = rms_norm(x, lp["ln2"], cfg.rms_eps)
-    g = maybe_int8_dot(h, lp["w_gate"])
-    u = maybe_int8_dot(h, lp["w_up"])
+    if "w_gateup" in lp:
+        F = cfg.intermediate
+        gu = maybe_int8_dot(h, lp["w_gateup"])
+        g, u = gu[..., :F], gu[..., F:]
+    else:
+        g = maybe_int8_dot(h, lp["w_gate"])
+        u = maybe_int8_dot(h, lp["w_up"])
     mlp = maybe_int8_dot(jax.nn.silu(g.astype(jnp.float32)).astype(u.dtype) * u,
                          lp["w_down"])
     return x + mlp.astype(x.dtype)
@@ -221,9 +232,15 @@ def forward(
             B, T, E = x.shape
             H, K, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
             h = rms_norm(x, lp["ln1"], cfg.rms_eps)
-            q = maybe_int8_dot(h, lp["wq"]).reshape(B, T, H, D)
-            k = maybe_int8_dot(h, lp["wk"]).reshape(B, T, K, D)
-            v = maybe_int8_dot(h, lp["wv"]).reshape(B, T, K, D)
+            if "wqkv" in lp:  # packed single-chip layout (engine.pack_weights)
+                qkv = maybe_int8_dot(h, lp["wqkv"])
+                q = qkv[..., : H * D].reshape(B, T, H, D)
+                k = qkv[..., H * D : (H + K) * D].reshape(B, T, K, D)
+                v = qkv[..., (H + K) * D :].reshape(B, T, K, D)
+            else:
+                q = maybe_int8_dot(h, lp["wq"]).reshape(B, T, H, D)
+                k = maybe_int8_dot(h, lp["wk"]).reshape(B, T, K, D)
+                v = maybe_int8_dot(h, lp["wv"]).reshape(B, T, K, D)
             q = rms_norm(q, lp["q_norm"], cfg.rms_eps)
             k = rms_norm(k, lp["k_norm"], cfg.rms_eps)
             q = apply_rope(q, cos, sin).astype(x.dtype)
@@ -232,8 +249,13 @@ def forward(
             o = maybe_int8_dot(o.reshape(B, T, H * D), lp["wo"])
             x = x + o.astype(x.dtype)
             h = rms_norm(x, lp["ln2"], cfg.rms_eps)
-            g = maybe_int8_dot(h, lp["w_gate"])
-            u = maybe_int8_dot(h, lp["w_up"])
+            if "w_gateup" in lp:
+                F = cfg.intermediate
+                gu = maybe_int8_dot(h, lp["w_gateup"])
+                g, u = gu[..., :F], gu[..., F:]
+            else:
+                g = maybe_int8_dot(h, lp["w_gate"])
+                u = maybe_int8_dot(h, lp["w_up"])
             mlp = maybe_int8_dot(jax.nn.silu(g.astype(jnp.float32)).astype(u.dtype) * u,
                                  lp["w_down"])
             x = x + mlp.astype(x.dtype)

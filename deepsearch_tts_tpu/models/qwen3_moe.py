@@ -154,9 +154,15 @@ def forward(
     def attn(lp, x, attend):
         B, T, E = x.shape
         h = rms_norm(x, lp["ln1"], cfg.rms_eps)
-        q = maybe_int8_dot(h, lp["wq"]).reshape(B, T, H, D)
-        k = maybe_int8_dot(h, lp["wk"]).reshape(B, T, K, D)
-        v = maybe_int8_dot(h, lp["wv"]).reshape(B, T, K, D)
+        if "wqkv" in lp:  # packed single-chip layout (engine.pack_weights)
+            qkv = maybe_int8_dot(h, lp["wqkv"])
+            q = qkv[..., : H * D].reshape(B, T, H, D)
+            k = qkv[..., H * D : (H + K) * D].reshape(B, T, K, D)
+            v = qkv[..., (H + K) * D :].reshape(B, T, K, D)
+        else:
+            q = maybe_int8_dot(h, lp["wq"]).reshape(B, T, H, D)
+            k = maybe_int8_dot(h, lp["wk"]).reshape(B, T, K, D)
+            v = maybe_int8_dot(h, lp["wv"]).reshape(B, T, K, D)
         q = rms_norm(q, lp["q_norm"], cfg.rms_eps)
         k = rms_norm(k, lp["k_norm"], cfg.rms_eps)
         q = apply_rope(q, cos, sin).astype(x.dtype)

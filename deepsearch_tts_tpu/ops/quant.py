@@ -76,6 +76,7 @@ def int8_matmul(x: jax.Array, w_q: jax.Array, scales: jax.Array) -> jax.Array:
 
 
 QUANT_KEYS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down",
+              "wqkv", "w_gateup",   # packed single-chip serving layout
               "d_gate", "d_up", "d_down", "s_gate", "s_up", "s_down",
               "w_qb", "w_kb", "w_vb", "lm_head")
 
