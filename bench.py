@@ -114,7 +114,7 @@ def main():
     engine.spans.reset()
 
     t0 = time.monotonic()
-    futs = [engine.submit(req(i)) for i in range(B)]
+    futs = engine.submit_many([req(i) for i in range(B)])
     results = [f.result(timeout=3600) for f in futs]
     wall = time.monotonic() - t0
 

@@ -32,6 +32,11 @@ def main(argv=None):
     p.add_argument("--timeout", type=float, default=6.0)
     p.add_argument("--limit", type=int, default=0)
     p.add_argument("--concurrent_limit", type=int, default=8)
+    p.add_argument("--num_workers", type=int, default=1,
+                   help="parallel eval processes (lcb multiprocess pool)")
+    p.add_argument("--lcb_format", action="store_true",
+                   help="input is a raw LiveCodeBench dataset export "
+                        "(compressed private tests are decoded)")
     p.add_argument("--continue_existing", default="",
                    help="prior generations JSON to resume from")
     args = p.parse_args(argv)
@@ -46,7 +51,13 @@ def main(argv=None):
         ["--backend", args.backend, "--model_name", args.model_name])
     client, _, engine = make_clients(ds_args)
 
-    problems = load_dataset(args.input_path, limit=args.limit or None)
+    if args.lcb_format:
+        from ..evaluate.lcb_benchmarks import load_code_generation_rows
+
+        problems = load_code_generation_rows(args.input_path,
+                                             limit=args.limit or None)
+    else:
+        problems = load_dataset(args.input_path, limit=args.limit or None)
     prior: dict[str, list[str]] = {}
     if args.continue_existing and os.path.exists(args.continue_existing):
         with open(args.continue_existing, encoding="utf-8") as f:
@@ -81,7 +92,8 @@ def main(argv=None):
 
     k_list = tuple(int(x) for x in args.k.split(","))
     metrics = codegen_metrics(problems, samples, k_list=k_list,
-                              timeout=args.timeout)
+                              timeout=args.timeout,
+                              num_workers=args.num_workers)
     metrics.pop("per_problem", None)
     if engine is not None:
         engine.shutdown()

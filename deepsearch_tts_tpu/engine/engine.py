@@ -89,8 +89,10 @@ class _Slot:
         self.stop: StopState | None = None
         self.detok = None
         self.active = False
+        self.epoch = 0   # bumped on reset: stale pipelined results are dropped
 
     def reset(self):
+        self.epoch += 1
         self.req = None
         self.future = None
         self.pages = []
@@ -124,6 +126,7 @@ class Engine:
         quantize: str | None = None,  # "int8" quantizes matmul weights
         pack_weights: bool | None = None,  # fuse QKV / gate+up (single-chip)
         context_buckets: bool = True,  # slice decode page tables to pow2 need
+        pipeline_decode: bool = True,  # dispatch chunk N+1 before syncing N
         seed: int = 0,
         enable_prefix_cache: bool = True,
     ):
@@ -260,6 +263,13 @@ class Engine:
         self.rng = jax.random.PRNGKey(seed)
         self.step_counter = 0
 
+        self.pipeline_decode = pipeline_decode
+        self._pending = None           # in-flight decode chunk (see _dispatch)
+        self._last_decode_end = 0.0    # pipelined decode_time accounting
+        # device copies of slow-changing host state; re-uploaded only after
+        # a host mutation (every host→device transfer is a tunnel round trip)
+        self._host_version = 0
+        self._dev_cache: dict[str, tuple[int, Any]] = {}
         self._queue: "queue.Queue[tuple[GenerationRequest, Future]]" = queue.Queue()
         self._deferred: list[tuple[GenerationRequest, Future]] = []
         self._aborts: set[str] = set()
@@ -306,8 +316,14 @@ class Engine:
 
         @partial(jax.jit, donate_argnums=(0, 1, 4))
         def decode_chunk(k_pages, v_pages, params, page_tables, seen,
-                         last_tok, seq_lens, active, samp, key,
-                         min_tokens, prompt_lens):
+                         last_tok, seq_lens, host_last, host_lens, use_host,
+                         active, samp, key, min_tokens, prompt_lens):
+            # pipelined dispatch: rows reset on the host since the carry was
+            # produced (admitted/finished) take the host values; merging here
+            # keeps it inside the one decode program (a separate scatter
+            # would be its own multi-second remote compile on axon)
+            last_tok = jnp.where(use_host, host_last, last_tok)
+            seq_lens = jnp.where(use_host, host_lens, seq_lens)
             def step(carry, step_key):
                 kp, vp, last, lens, seen = carry
                 sp = SamplingParams(
@@ -392,6 +408,17 @@ class Engine:
         self._wake.set()
         self.start()
         return fut
+
+    def submit_many(self, reqs: list[GenerationRequest]) -> list[Future]:
+        """Enqueue a batch atomically: the scheduler sees all of them in one
+        admission pass, so a burst prefills in aligned groups instead of one
+        straggler trailing the batch by a chunk (per-request ``submit`` in a
+        loop races the scheduler's poll)."""
+        futs: list[Future] = [Future() for _ in reqs]
+        self._queue.put(list(zip(reqs, futs)))
+        self._wake.set()
+        self.start()
+        return futs
 
     def generate(self, req: GenerationRequest) -> GenerationResult:
         return self.submit(req).result()
@@ -481,10 +508,12 @@ class Engine:
             for p_cur in widths:
                 self.rng, key = jax.random.split(self.rng)
                 samp = {k: jnp.asarray(v) for k, v in self.samp_host.items()}
+                last = jnp.asarray(self.last_tok)
+                lens = jnp.asarray(self.seq_lens)
                 out = self._decode_fn(
                     self.k_pages, self.v_pages, self.params,
                     jnp.asarray(self.page_tables[:, :p_cur]), self.seen,
-                    jnp.asarray(self.last_tok), jnp.asarray(self.seq_lens),
+                    last, lens, last, lens, jnp.ones((B,), bool),
                     jnp.zeros((B,), bool), samp, key,
                     jnp.asarray(self.min_tokens), jnp.asarray(self.prompt_lens),
                 )
@@ -508,32 +537,73 @@ class Engine:
     # ------------------------------------------------------------- scheduler
 
     def _loop(self):
+        """Pipelined scheduler: while the host syncs + post-processes chunk N
+        and admits new requests, the device is already running chunk N+1.
+
+        Chunk N+1 is dispatched *from chunk N's device-side carry* (no host
+        round trip), before N's tokens are read back. Slots whose host state
+        changed in between (finished, aborted, re-admitted) are detected by
+        an epoch counter and their speculative results are discarded; the
+        page/prefix-cache invariants hold because the device executes
+        programs in dispatch order (speculative KV writes land before any
+        re-admission prefill overwrites them, and only beyond the finished
+        sequence's trimmed end, which full-page prefix insertion never
+        covers)."""
         while not self._stopping:
             try:
-                self._apply_aborts()
-                admitted = self._admit()
-                any_active = any(s.active for s in self.slots)
-                if not any_active:
-                    if not admitted:
-                        self._wake.wait(timeout=0.05)
-                        self._wake.clear()
-                    continue
-                self._decode_step()
+                if self._pending is None:
+                    self._apply_aborts()
+                    admitted = self._admit()
+                    if not any(s.active for s in self.slots):
+                        if not admitted:
+                            self._wake.wait(timeout=0.05)
+                            self._wake.clear()
+                        continue
+                    self._pending = self._dispatch_decode(carry=None)
+                else:
+                    nxt = None
+                    if self.pipeline_decode and not self._aborts \
+                            and self._can_speculate(self._pending):
+                        nxt = self._dispatch_decode(carry=self._pending)
+                    self._process_decode(self._pending)
+                    self._pending = nxt
+                    self._apply_aborts()
+                    self._admit()
             except Exception as e:  # engine-step crash: fail in-flight work loudly
                 import traceback
 
                 traceback.print_exc()
+                self._pending = None
                 for s in self.slots:
                     if s.future is not None and not s.future.done():
                         s.future.set_exception(e)
                     s.reset()
+                for _, fut in self._deferred:
+                    if not fut.done():
+                        fut.set_exception(e)
+                self._deferred.clear()
                 while not self._queue.empty():
                     try:
-                        _, fut = self._queue.get_nowait()
-                        fut.set_exception(e)
+                        item = self._queue.get_nowait()
                     except queue.Empty:
                         break
+                    for _, fut in (item if isinstance(item, list) else [item]):
+                        if not fut.done():
+                            fut.set_exception(e)
                 return
+
+    def _mark_dirty(self) -> None:
+        """Host slot state changed: device copies must be re-uploaded."""
+        self._host_version += 1
+
+    def _dev(self, name: str, build):
+        """Version-cached host→device upload."""
+        hit = self._dev_cache.get(name)
+        if hit is not None and hit[0] == self._host_version:
+            return hit[1]
+        val = build()
+        self._dev_cache[name] = (self._host_version, val)
+        return val
 
     def _bucket(self, n: int) -> int:
         b = 16
@@ -585,9 +655,13 @@ class Engine:
                 req, fut = self._deferred.pop(0)
             else:
                 try:
-                    req, fut = self._queue.get_nowait()
+                    item = self._queue.get_nowait()
                 except queue.Empty:
                     break
+                if isinstance(item, list):  # submit_many batch
+                    self._deferred.extend(item)
+                    continue
+                req, fut = item
             if req.request_id in self._aborts:
                 self._aborts.discard(req.request_id)
                 fut.cancel()
@@ -639,6 +713,7 @@ class Engine:
         self.page_tables[slot.idx, :] = (
             slot.idx if self.cache_mode == "slot" else 0)
         self.seq_lens[slot.idx] = 0
+        self._mark_dirty()
         slot.reset()
         if fut is not None and not fut.done():
             fut.set_exception(exc)
@@ -711,6 +786,7 @@ class Engine:
             self.samp_host[k][b] = v
         self.min_tokens[b] = req.min_tokens
         self.prompt_lens[b] = len(prompt)
+        self._mark_dirty()
         return {"slot": slot, "req": req, "suffix": prompt[cached_len:],
                 "cached_len": cached_len, "prompt": prompt}
 
@@ -796,29 +872,66 @@ class Engine:
                 except Exception:
                     pass
 
-    def _decode_step(self):
-        t0 = time.monotonic()
-        active = np.array([s.active for s in self.slots], bool)
-        # page headroom for the chunk (paged mode only)
+    def _can_speculate(self, h: dict) -> bool:
+        """Worth dispatching chunk N+1 before syncing N? Only if some slot is
+        certain to still want tokens after the outstanding chunk (otherwise
+        the speculative chunk is pure waste at drain time)."""
+        chunk = self.decode_chunk_len
         for s in self.slots:
-            if not s.active or self.cache_mode == "slot":
+            if not s.active or not h["active"][s.idx] \
+                    or h["epochs"][s.idx] != s.epoch:
                 continue
-            need_tokens = int(self.seq_lens[s.idx]) + self.decode_chunk_len + 1
-            need_pages = -(-need_tokens // self.page_size)
+            if s.stop.max_tokens - s.stop.n_tokens > chunk \
+                    and int(self.seq_lens[s.idx]) + 2 * chunk < self.max_seq_len:
+                return True
+        return False
+
+    def _dispatch_decode(self, carry: dict | None) -> dict | None:
+        """Dispatch one decode chunk; returns a handle for _process_decode.
+
+        ``carry`` is the still-unprocessed previous handle: its device-side
+        last_tok/seq_lens feed this dispatch directly (no host round trip).
+        Rows whose host state is authoritative (inactive at the carry's
+        dispatch, or reset since — epoch mismatch) are patched from the host
+        arrays. Returns None instead of dispatching when speculation can't
+        proceed (page headroom would need a preemption decision that must
+        wait for the carry's results)."""
+        chunk = self.decode_chunk_len
+        valid = np.zeros((self.max_slots,), bool)
+        if carry is not None:
+            for s in self.slots:
+                valid[s.idx] = (s.active and carry["active"][s.idx]
+                                and carry["epochs"][s.idx] == s.epoch)
+        # host view of each sequence's length after the outstanding chunk
+        predicted = self.seq_lens + np.where(valid, chunk, 0)
+        active = np.array([s.active for s in self.slots], bool)
+        # never dispatch a row whose positions could exceed the page budget:
+        # write_kv_flat clamps out-of-range page lookups, which would land
+        # junk inside the sequence's last page (prefix-cache poison)
+        active &= predicted + chunk + 1 <= self.max_seq_len
+
+        # page headroom for this chunk (paged mode only)
+        for s in self.slots:
+            if not active[s.idx] or self.cache_mode == "slot":
+                continue
+            need_pages = -(-int(predicted[s.idx] + chunk + 1) // self.page_size)
             have = len(s.shared_pages) + len(s.pages)
             if need_pages > have:
                 extra = need_pages - have
                 if not self._ensure_pages(extra):
-                    self._finish_slot(s, reason="length")  # out of memory: stop
+                    if carry is not None:
+                        return None  # decide preemption after syncing carry
+                    self._finish_slot(s, reason="length")  # out of memory
                     self.stats["preemptions"] += 1
                     active[s.idx] = False
                     continue
                 new = self.allocator.alloc(extra)
                 self.page_tables[s.idx, have : have + extra] = new
                 s.pages.extend(new)
+                self._mark_dirty()
 
         if not active.any():
-            return
+            return None
         # context-bucketed page table: the XLA attention path gathers all P
         # passed pages per layer, so slice to a pow2 bucket covering the
         # longest active sequence (+ this chunk) — early decode then moves
@@ -826,33 +939,56 @@ class Engine:
         # by warmup()).
         p_cur = self.max_pages_per_seq
         if self.cache_mode != "slot" and self.context_buckets:
-            need = int(np.max(np.where(active, self.seq_lens, 0))) \
-                + self.decode_chunk_len + 1
+            need = int(np.max(np.where(active, predicted, 0))) + chunk + 1
             need_pages = -(-need // self.page_size)
             for b in self._decode_buckets():
                 if b >= need_pages:
                     p_cur = b
                     break
-        self.rng, key = jax.random.split(self.rng)
-        samp = {k: jnp.asarray(v) for k, v in self.samp_host.items()}
-        span = self.spans.span("decode_dispatch")
-        span.__enter__()
-        (self.k_pages, self.v_pages, self.seen, last, lens, toks) = self._decode_fn(
-            self.k_pages, self.v_pages, self.params,
-            jnp.asarray(self.page_tables[:, :p_cur]), self.seen,
-            jnp.asarray(self.last_tok), jnp.asarray(self.seq_lens),
-            jnp.asarray(active), samp, key,
-            jnp.asarray(self.min_tokens), jnp.asarray(self.prompt_lens),
-        )
-        toks_np = np.asarray(toks)
-        span.__exit__(None, None, None)
-        self.last_tok = np.array(last)   # copies: jax buffers are read-only
-        self.seq_lens = np.array(lens)
 
+        host_last = jnp.asarray(self.last_tok)
+        host_lens = jnp.asarray(self.seq_lens)
+        if carry is None:
+            last, lens = host_last, host_lens
+            use_host = np.ones((self.max_slots,), bool)
+        else:
+            last, lens = carry["last"], carry["lens"]
+            use_host = ~valid  # rows admitted/reset since the carry dispatch
+
+        self.rng, key = jax.random.split(self.rng)
+        samp = self._dev("samp", lambda: {
+            k: jnp.asarray(v) for k, v in self.samp_host.items()})
+        tables = self._dev(f"tables_{p_cur}",
+                           lambda: jnp.asarray(self.page_tables[:, :p_cur]))
+        min_toks = self._dev("min_tokens", lambda: jnp.asarray(self.min_tokens))
+        plens = self._dev("prompt_lens", lambda: jnp.asarray(self.prompt_lens))
+        with self.spans.span("decode_dispatch"):
+            (self.k_pages, self.v_pages, self.seen, last, lens, toks) = \
+                self._decode_fn(
+                    self.k_pages, self.v_pages, self.params,
+                    tables, self.seen,
+                    last, lens, host_last, host_lens, jnp.asarray(use_host),
+                    jnp.asarray(active), samp, key, min_toks, plens,
+                )
+        return {
+            "active": active,
+            "epochs": [s.epoch for s in self.slots],
+            "last": last, "lens": lens, "toks": toks,
+            "t_dispatch": time.monotonic(),
+        }
+
+    def _process_decode(self, h: dict) -> None:
+        with self.spans.span("decode_sync"):
+            toks_np = np.asarray(h["toks"])   # the host↔device sync point
+            last_np = np.asarray(h["last"])
+            lens_np = np.asarray(h["lens"])
         n_new = 0
         for s in self.slots:
-            if not s.active or not active[s.idx]:
-                continue
+            if not s.active or not h["active"][s.idx] \
+                    or h["epochs"][s.idx] != s.epoch:
+                continue  # finished/aborted/re-admitted since dispatch
+            self.last_tok[s.idx] = last_np[s.idx]
+            self.seq_lens[s.idx] = lens_np[s.idx]
             consumed = self._process_chunk(s, toks_np[s.idx])
             n_new += consumed
             if s.stop.finished:
@@ -862,9 +998,14 @@ class Engine:
                 self._finish_slot(s)
             elif self.seq_lens[s.idx] + self.decode_chunk_len >= self.max_seq_len:
                 self._finish_slot(s, reason="length")
+        now = time.monotonic()
         self.stats["decode_tokens"] += n_new
         self.stats["decode_steps"] += 1
-        self.stats["decode_time_s"] += time.monotonic() - t0
+        # pipelined accounting: busy time is the union of [dispatch, sync]
+        # windows, so back-to-back chunks don't double-count overlap
+        self.stats["decode_time_s"] += now - max(h["t_dispatch"],
+                                                 self._last_decode_end)
+        self._last_decode_end = now
 
     def _process_chunk(self, s: _Slot, arr: np.ndarray) -> int:
         """Fold one chunk of sampled tokens into slot state; returns tokens
@@ -927,6 +1068,7 @@ class Engine:
         self.allocator.free(slot.pages)
         self.page_tables[slot.idx, :] = (slot.idx if self.cache_mode == "slot" else 0)
         self.seq_lens[slot.idx] = 0
+        self._mark_dirty()
         slot_fut = fut
         slot.reset()
         if slot_fut is not None and not slot_fut.done():

@@ -100,28 +100,43 @@ def pass_at_k(n: int, c: int, k: int) -> float:
     return 1.0 - math.prod(1.0 - k / i for i in range(n - c + 1, n + 1))
 
 
+def _eval_one_problem(job: tuple) -> dict:
+    """Worker body for the parallel pool (module-level: must pickle)."""
+    cases, samples, timeout = job
+    n_correct = 0
+    details = []
+    for code in samples:
+        if not code:
+            details.append([])
+            continue
+        res = run_test_cases(code, cases, timeout=timeout)
+        details.append(res)
+        if res and all(r["status"] == "pass" for r in res):
+            n_correct += 1
+    return {"n": len(samples), "correct": n_correct, "details": details}
+
+
 def codegen_metrics(problems: list[dict], samples_per_problem: list[list[str]],
-                    k_list: tuple[int, ...] = (1,), timeout: float = 6.0) -> dict:
+                    k_list: tuple[int, ...] = (1,), timeout: float = 6.0,
+                    num_workers: int = 1) -> dict:
     """Evaluate n generations per problem; report pass@k averages.
 
     problems[i]["test_cases"] is a list of TestCase-style dicts.
+    ``num_workers > 1`` evaluates problems in a process pool (the
+    reference's parallel evaluation, lcb_runner/utils/multiprocess.py:33-80
+    — here stdlib ProcessPoolExecutor; each test still runs in its own
+    sandboxed child with a hard timeout either way).
     """
-    per_problem = []
-    for prob, samples in zip(problems, samples_per_problem):
-        cases = prob.get("test_cases", [])
-        n_correct = 0
-        details = []
-        for code in samples:
-            if not code:
-                details.append([])
-                continue
-            res = run_test_cases(code, cases, timeout=timeout)
-            details.append(res)
-            if res and all(r["status"] == "pass" for r in res):
-                n_correct += 1
-        per_problem.append({
-            "n": len(samples), "correct": n_correct, "details": details,
-        })
+    jobs = [(prob.get("test_cases", []), samples, timeout)
+            for prob, samples in zip(problems, samples_per_problem)]
+    if num_workers > 1 and len(jobs) > 1:
+        from concurrent.futures import ProcessPoolExecutor
+
+        with ProcessPoolExecutor(max_workers=num_workers,
+                                 mp_context=mp.get_context("fork")) as pool:
+            per_problem = list(pool.map(_eval_one_problem, jobs))
+    else:
+        per_problem = [_eval_one_problem(j) for j in jobs]
     out = {}
     for k in k_list:
         vals = [pass_at_k(p["n"], p["correct"], k) for p in per_problem

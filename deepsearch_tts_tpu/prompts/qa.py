@@ -247,3 +247,147 @@ Solve the following programming problem. Provide your final solution as a comple
 
 Problem: {question}
 """
+
+
+def get_gpqa_web_thinker_instruction(max_search_limit: int = 15) -> str:
+    """GPQA-specialized web-thinker task header
+    (reference: prompts.py:2-28)."""
+    return f"""You are a reasoning assistant solving a graduate-level science question. You may run web searches while you reason:
+
+- To search, emit {BEGIN_SEARCH_QUERY}your query{END_SEARCH_QUERY}.
+  The system will fetch and analyze relevant pages and reply inside
+  {BEGIN_SEARCH_RESULT} ... {END_SEARCH_RESULT}.
+
+Search as many times as you need (budget: {max_search_limit}), folding each result back into your reasoning.
+
+Example:
+Question: "What is the energy range of pp III neutrinos?"
+- I should check the pp III neutrino spectrum.
+{BEGIN_SEARCH_QUERY}pp III neutrino energy spectrum{END_SEARCH_QUERY}
+(system supplies processed page information)
+...reasoning continues with the new facts...
+
+Remember: open every search with {BEGIN_SEARCH_QUERY} and close it with {END_SEARCH_QUERY}; when you are done searching, finish your reasoning.
+"""
+
+
+def get_deep_web_explorer_instruction_qwen(search_intent: str,
+                                           search_result: str) -> str:
+    """Qwen-variant explorer prompt: intent-only, no echoed query
+    (reference: prompts.py:68-101). Same output contract: the extractor
+    keys on **Final Information**."""
+    return f"""You are a web explorer. Judge the searched pages strictly against the goal of this visit and pull out what serves it.
+
+Guidelines:
+1. Read every searched page and identify factual content that serves the goal of the visit.
+2. If the pages don't serve the goal you may either search again with {BEGIN_SEARCH_QUERY}another query{END_SEARCH_QUERY} or open a page with {BEGIN_CLICK_LINK}URL{END_CLICK_LINK}.
+3. Report the relevant content, starting exactly with **Final Information** on its own line.
+
+**Final Information**
+[Relevant information]
+
+Inputs:
+- Detailed goal of the visit:
+{search_intent}
+
+- Searched web pages:
+{search_result}
+
+Analyze the pages now and extract what serves the goal of the visit.
+"""
+
+
+def get_detailed_web_page_reader_instruction(query: str, search_intent: str,
+                                             document: str) -> str:
+    """Page reader conditioned on query AND intent (reference:
+    prompts.py:108-126). Contract: markdown output, keep links, the literal
+    "No relevant information" when nothing matches."""
+    return f"""Extract every piece of this document that bears on the search query and the intent behind it, in markdown.
+
+Search Query:
+{query}
+
+Search Intent:
+{search_intent}
+
+Searched Web Page:
+{document}
+
+Instructions:
+- Keep all content matching the query/intent; omit nothing relevant.
+- Preserve any useful links from the source.
+- If nothing in the page is relevant, output "No relevant information".
+- Prefer factual material that directly addresses the query and intent.
+"""
+
+
+def get_query_plan_instruction(question: str) -> str:
+    """Sub-query planner (reference: prompts.py:141-158). Contract: the
+    JSON ``{"query_plan": [...]}`` schema in a ```json block."""
+    return f"""You are a reasoning assistant. Decompose the user's question into the sub-queries needed to fully answer it.
+
+Question: {question}
+
+Think about what separate facts must be gathered, then output only the plan in JSON:
+
+```json
+{{
+    "query_plan": [
+        "sub-query-1",
+        "sub-query-2",
+        ...
+    ]
+}}
+```
+"""
+
+
+def get_webpage_to_reasonchain_instruction(prev_reasoning: str,
+                                           search_query: str,
+                                           document: str) -> str:
+    """Reason-chain page analysis (reference: prompts.py:235-274).
+    Contract: **Final Information** marker; the literal fallback line
+    "No helpful information found."."""
+    return f"""**Task Instruction:**
+
+You are given **Previous Reasoning Steps**, a **Current Search Query**, and **Searched Web Pages**. Pull from the pages whatever helps answer the current search query so the reasoning chain can continue.
+
+Guidelines:
+1. Review each searched page for facts relevant to the **Current Search Query**.
+2. Keep only accurate material that moves the **Previous Reasoning Steps** forward.
+3. Output format:
+- If the pages help, begin with `**Final Information**`:
+**Final Information**
+
+[Helpful information]
+
+- If they do not help, output exactly:
+
+**Final Information**
+
+No helpful information found.
+
+**Inputs:**
+- **Previous Reasoning Steps:**
+{prev_reasoning}
+
+- **Current Search Query:**
+{search_query}
+
+- **Searched Web Pages:**
+{document}
+
+Now analyze each page for helpful information on "{search_query}" given the previous reasoning steps.
+"""
+
+
+def get_naive_rag_instruction(question: str, documents: str) -> str:
+    """Closed-book RAG baseline (reference: prompts.py:347-355)."""
+    return (
+        "You are a knowledgeable assistant that answers the user's question "
+        "using only the provided documents.\n\n"
+        "Question:\n"
+        f"{question}\n"
+        "Documents:\n"
+        f"{documents}\n"
+    )

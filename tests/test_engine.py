@@ -205,3 +205,44 @@ def test_fresh_prefill_path_used_and_correct():
     pos = jnp.arange(20, dtype=jnp.int32)[None]
     logits, _ = forward(eng.params, CFG, toks, pos)
     assert r1.token_ids[0] == int(jnp.argmax(logits[0, -1]))
+
+
+def test_pipelined_decode_matches_serial():
+    """Speculative chunk-ahead dispatch must not change outputs: mixed-length
+    greedy requests through a pipelined engine equal a serial engine's."""
+    tk = ByteTokenizer()
+    prompts = [[7, 8, 9, 10, 11], [30, 31], [50, 51, 52, 53, 54, 55, 56],
+               [90, 91, 92]]
+    lens = [17, 3, 9, 25]  # straddle several chunk boundaries
+
+    outs = {}
+    for flag in (True, False):
+        eng = Engine("qwen3-test", tk, max_slots=4, page_size=4, n_pages=128,
+                     max_seq_len=128, decode_chunk_len=4, seed=0,
+                     pipeline_decode=flag)
+        futs = [eng.submit(_greedy_req(p, max_tokens=n))
+                for p, n in zip(prompts, lens)]
+        outs[flag] = [f.result(timeout=600) for f in futs]
+        eng.shutdown()
+    for a, b in zip(outs[True], outs[False]):
+        assert a.token_ids == b.token_ids
+        assert a.finish_reason == b.finish_reason
+        assert len(a.token_ids) == a.completion_tokens
+
+
+def test_submit_many_atomic_batch():
+    tk = ByteTokenizer()
+    eng = Engine("qwen3-test", tk, max_slots=4, page_size=4, n_pages=128,
+                 max_seq_len=128, decode_chunk_len=4, seed=0)
+    try:
+        reqs = [_greedy_req([i, i + 1, i + 2], max_tokens=5) for i in range(4)]
+        futs = eng.submit_many(reqs)
+        results = [f.result(timeout=600) for f in futs]
+        assert all(len(r.token_ids) == 5 for r in results)
+        # equals per-request submission
+        singles = [eng.generate(_greedy_req([i, i + 1, i + 2], max_tokens=5))
+                   for i in range(4)]
+        for a, b in zip(results, singles):
+            assert a.token_ids == b.token_ids
+    finally:
+        eng.shutdown()

@@ -52,3 +52,33 @@ def test_report_prompts():
     assert "## Sec" in s
     j = RP.get_report_evaluation_instruction("q", {"A": "ra", "B": "rb"})
     assert "[System A Report Start]" in j and "coherence" in j
+
+
+def test_prompt_variant_breadth_contracts():
+    """Ablation-parity prompt variants (reference prompts.py:2-28, 68-126,
+    141-158, 235-274, 347-355) preserve their load-bearing contracts."""
+    from deepsearch_tts_tpu.prompts import qa as P
+
+    g = P.get_gpqa_web_thinker_instruction(15)
+    assert P.BEGIN_SEARCH_QUERY in g and P.END_SEARCH_QUERY in g
+
+    e = P.get_deep_web_explorer_instruction_qwen("goal", "pages")
+    assert "**Final Information**" in e and P.BEGIN_CLICK_LINK in e
+    assert "goal" in e and "pages" in e
+
+    d = P.get_detailed_web_page_reader_instruction("q", "intent", "doc")
+    assert "No relevant information" in d and "intent" in d
+
+    import json, re
+    plan = P.get_query_plan_instruction("why?")
+    m = re.search(r"```json\n(.*?)```", plan, re.DOTALL)
+    schema = m.group(1).replace('"sub-query-1",', '"a",').replace(
+        '"sub-query-2",', '"b"').replace("...", "").strip()
+    assert json.loads(schema)["query_plan"] == ["a", "b"]
+
+    rc = P.get_webpage_to_reasonchain_instruction("prev", "q", "doc")
+    assert "**Final Information**" in rc
+    assert "No helpful information found." in rc
+
+    rag = P.get_naive_rag_instruction("q?", "docs")
+    assert "q?" in rag and "docs" in rag

@@ -124,3 +124,91 @@ def test_rate_limiter_allows_burst():
         for _ in range(5):
             await rl.acquire()
     asyncio.run(go())
+
+
+def test_connection_pool_keepalive_localhost():
+    """ConnectionPool reuses keep-alive sockets and follows redirects,
+    against a local threaded HTTP server (hermetic)."""
+    import http.server
+    import threading
+
+    from deepsearch_tts_tpu.web.fetch import ConnectionPool
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+        hits = []
+
+        def do_GET(self):
+            self.hits.append(self.path)
+            if self.path == "/redir":
+                self.send_response(302)
+                self.send_header("Location", "/target")
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+                return
+            body = f"hello from {self.path}".encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "text/plain")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        pool = ConnectionPool()
+        data, ctype = pool.fetch(base + "/a")
+        assert data == b"hello from /a" and "text/plain" in ctype
+        # second request on the same host reuses the pooled connection
+        assert pool.fetch(base + "/b")[0] == b"hello from /b"
+        key = ("http", "127.0.0.1", srv.server_address[1])
+        assert len(pool._idle.get(key, [])) == 1
+        # redirect following
+        assert pool.fetch(base + "/redir")[0] == b"hello from /target"
+    finally:
+        srv.shutdown()
+
+
+def test_webparser_client_fallback_tier():
+    """Failed fetches are batched to the WebParserClient seam after the
+    direct pass (reference bing_search.py:218-231 semantics)."""
+    from deepsearch_tts_tpu.web.fetch import PageFetcher, WebParserClient
+
+    calls = []
+
+    def transport(endpoint, payload):
+        calls.append((endpoint, payload))
+        return {"results": [
+            {"url": u, "success": u.endswith("ok"),
+             "content": f"parsed {u}", "error": "boom"}
+            for u in payload["urls"]
+        ]}
+
+    def raw(url):
+        if "bad" in url or "ok" in url:
+            raise OSError("connection refused")
+        return b"<p>" + url.encode() + b" body text that is long enough to pass the error heuristic</p>", "text/html"
+
+    parser = WebParserClient("http://parse.test", transport=transport)
+    f = PageFetcher(raw_fetch=raw, fallback_parser=parser)
+    out = asyncio.run(f.fetch_pages(
+        ["http://a.test/good", "http://a.test/bad", "http://a.test/ok"]))
+    assert "body text" in out["http://a.test/good"]
+    assert out["http://a.test/ok"] == "parsed http://a.test/ok"   # rescued
+    assert out["http://a.test/bad"].startswith("Error fetching")  # not rescued
+    assert calls and calls[0][0] == "http://parse.test/parse_urls"
+    assert set(calls[0][1]["urls"]) == {"http://a.test/bad", "http://a.test/ok"}
+
+
+def test_jina_markdown_cleanup():
+    from deepsearch_tts_tpu.web.fetch import clean_jina_markdown
+
+    md = "Title\n---\nsee [http://x.test/a] and (https://y.test/b) end"
+    out = clean_jina_markdown(md)
+    assert "http://" not in out and "https://" not in out
+    assert "---" not in out
