@@ -124,9 +124,12 @@ class Engine:
         attn_impl: str | None = None,
         cache_mode: str = "paged",   # "paged" (prefix sharing) | "slot"
         quantize: str | None = None,  # "int8" quantizes matmul weights
+        kv_quantize: str | None = None,  # "int8" KV pages + per-row scales
         pack_weights: bool | None = None,  # fuse QKV / gate+up (single-chip)
         context_buckets: bool = True,  # slice decode page tables to pow2 need
         pipeline_decode: bool = True,  # dispatch chunk N+1 before syncing N
+        ring_prefill_len: int | None = None,  # fresh prefills >= this length
+        # run ring attention over the mesh's tp axis (sp aliases tp)
         seed: int = 0,
         enable_prefix_cache: bool = True,
     ):
@@ -180,13 +183,13 @@ class Engine:
             params = new
         if quantize == "int8":
             # halve weight-read bandwidth (dequant fused into the MXU
-            # epilogue); norms/embeddings stay bf16; routed-expert weights
-            # stay bf16 (ragged_dot has no int8 path). See ops/quant.py.
-            from ..ops.quant import QUANT_KEYS, QUANT_KEYS_NO_EXPERTS, quantize_params
+            # epilogue); norms/embeddings/router stay bf16. Routed experts
+            # quantize too: they run the blocked grouped matmul
+            # (ops/moe._expert_ffn_blocked) since ragged_dot has no int8
+            # path. See ops/quant.py.
+            from ..ops.quant import QUANT_KEYS, quantize_params
 
-            is_moe = hasattr(self.cfg, "n_experts") or hasattr(self.cfg, "n_routed_experts")
-            params = quantize_params(
-                params, keys=QUANT_KEYS_NO_EXPERTS if is_moe else QUANT_KEYS)
+            params = quantize_params(params, keys=QUANT_KEYS)
         self.quantize = quantize
 
         # slot mode: contiguous per-slot cache [L, B, max_seq_len, K, D].
@@ -203,17 +206,34 @@ class Engine:
 
         cfgv = self.cfg
         self.latent_cache = bool(getattr(cfgv, "latent_cache", False))
+        if kv_quantize not in (None, "int8"):
+            raise ValueError(f"unknown kv_quantize {kv_quantize!r}")
+        if kv_quantize:
+            import inspect
+
+            if "k_scales" not in inspect.signature(fam.forward).parameters:
+                raise ValueError(
+                    f"model family {model_name!r} does not support int8 KV")
+            if cache_mode == "slot" or self.latent_cache:
+                raise ValueError("int8 KV requires the paged cache mode")
+        self.kv_quantize = kv_quantize
+        kv_dtype = jnp.int8 if kv_quantize else cfgv.jnp_dtype
         kshape = (cfgv.n_layers, n_pages, page_size, cfgv.n_kv_heads,
                   cfgv.head_dim)
-        self.k_pages = jnp.zeros(kshape, cfgv.jnp_dtype)
+        self.kv_aux: dict[str, Any] = {}
+        if kv_quantize:
+            sshape = kshape[:-1]
+            self.kv_aux = {"ks": jnp.zeros(sshape, jnp.float32),
+                           "vs": jnp.zeros(sshape, jnp.float32)}
+        self.k_pages = jnp.zeros(kshape, kv_dtype)
         if self.latent_cache:
             # MLA: one latent row per token lives in k_pages only; keep a
             # 1-page dummy v pool so the (k, v) engine plumbing is uniform
             # without doubling the cache's HBM footprint (ADVICE r1).
             self.v_pages = jnp.zeros((cfgv.n_layers, 1) + kshape[2:],
-                                     cfgv.jnp_dtype)
+                                     kv_dtype)
         else:
-            self.v_pages = jnp.zeros(kshape, cfgv.jnp_dtype)
+            self.v_pages = jnp.zeros(kshape, kv_dtype)
         if mesh is not None:
             # multi-chip serving: params laid out per the rules table (TP over
             # heads/mlp, EP over experts), KV pools sharded over the kv-head
@@ -223,7 +243,12 @@ class Engine:
             from ..parallel.sharding import SERVING_RULES, shard_pytree
 
             rules = rules or SERVING_RULES
-            params = shard_pytree(params, fam.logical_axes(), mesh, rules)
+            axes_tree = fam.logical_axes()
+            if quantize:
+                from ..ops.quant import quantized_logical_axes
+
+                axes_tree = quantized_logical_axes(params, axes_tree)
+            params = shard_pytree(params, axes_tree, mesh, rules)
             kv_axis = rules.axis("kv_heads")
             if kv_axis is not None:
                 axes = (kv_axis,) if isinstance(kv_axis, str) else tuple(kv_axis)
@@ -234,6 +259,10 @@ class Engine:
             kv_sharding = NamedSharding(mesh, kv_spec)
             self.k_pages = jax.device_put(self.k_pages, kv_sharding)
             self.v_pages = jax.device_put(self.v_pages, kv_sharding)
+            if self.kv_aux:
+                s_sharding = NamedSharding(mesh, P(None, None, None, kv_axis))
+                self.kv_aux = {k: jax.device_put(v, s_sharding)
+                               for k, v in self.kv_aux.items()}
         self.params = params
         self.allocator = PageAllocator(n_pages, page_size)
         if enable_prefix_cache:
@@ -264,6 +293,7 @@ class Engine:
         self.step_counter = 0
 
         self.pipeline_decode = pipeline_decode
+        self.ring_prefill_len = ring_prefill_len
         self._pending = None           # in-flight decode chunk (see _dispatch)
         self._last_decode_end = 0.0    # pipelined decode_time accounting
         # device copies of slow-changing host state; re-uploaded only after
@@ -314,8 +344,10 @@ class Engine:
         eos_id = self.tokenizer.eos_id if self.tokenizer.eos_id is not None else -1
         slot_mode = self.cache_mode == "slot"
 
-        @partial(jax.jit, donate_argnums=(0, 1, 4))
-        def decode_chunk(k_pages, v_pages, params, page_tables, seen,
+        kv_q = bool(self.kv_quantize)
+
+        @partial(jax.jit, donate_argnums=(0, 1, 2, 5))
+        def decode_chunk(k_pages, v_pages, kv_aux, params, page_tables, seen,
                          last_tok, seq_lens, host_last, host_lens, use_host,
                          active, samp, key, min_tokens, prompt_lens):
             # pipelined dispatch: rows reset on the host since the carry was
@@ -325,7 +357,7 @@ class Engine:
             last_tok = jnp.where(use_host, host_last, last_tok)
             seq_lens = jnp.where(use_host, host_lens, seq_lens)
             def step(carry, step_key):
-                kp, vp, last, lens, seen = carry
+                kp, vp, aux, last, lens, seen = carry
                 sp = SamplingParams(
                     samp["temperature"], samp["top_k"], samp["top_p"],
                     samp["min_p"], samp["repetition_penalty"],
@@ -335,54 +367,84 @@ class Engine:
                 )
                 pos = jnp.where(active, lens, -1)[:, None]
                 fwd_kw = {"slot_decode": True} if slot_mode else {}
-                logits, (kp, vp) = fwd(
+                if kv_q:
+                    fwd_kw.update(k_scales=aux["ks"], v_scales=aux["vs"])
+                logits, cache = fwd(
                     params, cfg, last[:, None], pos,
                     k_pages=kp, v_pages=vp, page_table=page_tables,
                     seq_lens=lens + active.astype(jnp.int32),
                     impl=impl, **fwd_kw,
                 )
+                if kv_q:
+                    kp, vp, aux = cache[0], cache[1], {"ks": cache[2],
+                                                       "vs": cache[3]}
+                else:
+                    kp, vp = cache
                 nxt = sample(logits[:, 0], sp, seen, step_key)
                 nxt = jnp.where(active, nxt, last)
                 seen = update_seen(seen, nxt)
                 lens = lens + active.astype(jnp.int32)
-                return (kp, vp, nxt, lens, seen), nxt
+                return (kp, vp, aux, nxt, lens, seen), nxt
 
             keys = jax.random.split(key, chunk)
-            (k_pages, v_pages, last_tok, seq_lens, seen), toks = jax.lax.scan(
-                step, (k_pages, v_pages, last_tok, seq_lens, seen), keys
-            )
-            return k_pages, v_pages, seen, last_tok, seq_lens, toks.T  # [B, chunk]
+            (k_pages, v_pages, kv_aux, last_tok, seq_lens, seen), toks =                 jax.lax.scan(
+                    step, (k_pages, v_pages, kv_aux, last_tok, seq_lens, seen),
+                    keys)
+            return (k_pages, v_pages, kv_aux, seen, last_tok, seq_lens,
+                    toks.T)  # [B, chunk]
 
         return decode_chunk
 
+    def _ring_prefill(self, bucket: int, fresh: bool) -> bool:
+        """Fresh prefills at/over ``ring_prefill_len`` run ring attention:
+        the chunk's sequence shards over the mesh's tp axis and K/V blocks
+        rotate over ICI (ops/ring_attention.py) — prefill beyond one chip's
+        attention budget (SURVEY.md §2.3 SP; the reference truncates)."""
+        return (fresh and self.ring_prefill_len is not None
+                and self.mesh is not None
+                and self.mesh.shape.get("tp", 1) > 1
+                and bucket >= self.ring_prefill_len
+                and bucket % self.mesh.shape["tp"] == 0)
+
     def _prefill_fn(self, key):
         """Jitted prefill + first-token sample, keyed by
-        ``(token bucket, group size, fresh)``.
+        ``(token bucket, group size, fresh, ring)``.
 
         The whole admission step for a group is ONE device program: forward,
         sampling, and the seen-mask fold all fuse — with remote compilation
         (axon) each extra program costs a multi-second round trip, so
         admission latency is dominated by dispatch count, not FLOPs.
         ``fresh`` (no cached prefix in the group) switches the model to
-        causal attention over the chunk instead of gathering the page budget.
+        causal attention over the chunk instead of gathering the page budget;
+        ``ring`` additionally shards that attention over the mesh.
         """
         if key in self._jit_cache:
             return self._jit_cache[key]
-        bucket, Gp, fresh = key
+        bucket, Gp, fresh, ring = key
         cfg, fwd = self.cfg, self.forward
-        impl = self.attn_impl
+        impl = "ring" if ring else self.attn_impl
+        ring_kw = {"ring_mesh": self.mesh, "ring_axis": "tp"} if ring else {}
         eos_id = self.tokenizer.eos_id if self.tokenizer.eos_id is not None else -1
 
-        @partial(jax.jit, donate_argnums=(0, 1, 9))
-        def prefill(k_pages, v_pages, params, tokens, positions, page_table,
-                    seq_lens, logits_idx, rows, seen, seen_rows, samp,
-                    min_toks, sample_key):
-            logits, (k_pages, v_pages) = fwd(
+        kv_q = bool(self.kv_quantize)
+
+        @partial(jax.jit, donate_argnums=(0, 1, 2, 10))
+        def prefill(k_pages, v_pages, kv_aux, params, tokens, positions,
+                    page_table, seq_lens, logits_idx, rows, seen, seen_rows,
+                    samp, min_toks, sample_key):
+            kv_kw = ({"k_scales": kv_aux["ks"], "v_scales": kv_aux["vs"]}
+                     if kv_q else {})
+            logits, cache = fwd(
                 params, cfg, tokens, positions,
                 k_pages=k_pages, v_pages=v_pages, page_table=page_table,
                 seq_lens=seq_lens, logits_indices=logits_idx, impl=impl,
-                fresh_prefill=fresh,
+                fresh_prefill=fresh, **ring_kw, **kv_kw,
             )
+            if kv_q:
+                k_pages, v_pages = cache[0], cache[1]
+                kv_aux = {"ks": cache[2], "vs": cache[3]}
+            else:
+                k_pages, v_pages = cache
             sp = SamplingParams(
                 samp["temperature"], samp["top_k"], samp["top_p"],
                 samp["min_p"], samp["repetition_penalty"],
@@ -395,7 +457,7 @@ class Engine:
             # (out of bounds => scatter dropped)
             seen = seen.at[rows].set(seen_rows, mode="drop")
             seen = seen.at[rows, first].set(True, mode="drop")
-            return k_pages, v_pages, seen, first
+            return k_pages, v_pages, kv_aux, seen, first
 
         self._jit_cache[key] = prefill
         return prefill
@@ -487,12 +549,14 @@ class Engine:
                 Gp = self._pow2(min(G, self.MAX_PREFILL_GROUP),
                                 self.MAX_PREFILL_GROUP)
                 for fresh in fresh_variants:
-                    prefill = self._prefill_fn((bucket, Gp, fresh))
+                    prefill = self._prefill_fn(
+                        (bucket, Gp, fresh, self._ring_prefill(bucket, fresh)))
                     samp = {k: jnp.asarray(np.repeat(v[:1], Gp))
                             for k, v in self.samp_host.items()}
                     self.rng, sk = jax.random.split(self.rng)
-                    self.k_pages, self.v_pages, self.seen, _ = prefill(
-                        self.k_pages, self.v_pages, self.params,
+                    (self.k_pages, self.v_pages, self.kv_aux, self.seen,
+                     _) = prefill(
+                        self.k_pages, self.v_pages, self.kv_aux, self.params,
                         jnp.zeros((Gp, bucket), jnp.int32),
                         jnp.full((Gp, bucket), -1, jnp.int32),
                         jnp.zeros((Gp, self.max_pages_per_seq), jnp.int32),
@@ -511,7 +575,7 @@ class Engine:
                 last = jnp.asarray(self.last_tok)
                 lens = jnp.asarray(self.seq_lens)
                 out = self._decode_fn(
-                    self.k_pages, self.v_pages, self.params,
+                    self.k_pages, self.v_pages, self.kv_aux, self.params,
                     jnp.asarray(self.page_tables[:, :p_cur]), self.seen,
                     last, lens, last, lens, jnp.ones((B,), bool),
                     jnp.zeros((B,), bool), samp, key,
@@ -519,7 +583,8 @@ class Engine:
                 )
                 # inactive rows write nothing (positions < 0 are dropped);
                 # rebind the donated buffers and discard the rest
-                self.k_pages, self.v_pages, self.seen = out[0], out[1], out[2]
+                (self.k_pages, self.v_pages, self.kv_aux,
+                 self.seen) = out[0], out[1], out[2], out[3]
             jax.block_until_ready(self.seen)
 
     def start(self):
@@ -831,11 +896,13 @@ class Engine:
                 for k in ("temperature", "top_k", "top_p", "min_p",
                           "repetition_penalty")}
         fresh = all(p["cached_len"] == 0 for p in grp)
-        prefill = self._prefill_fn((bucket, Gp, fresh))
+        prefill = self._prefill_fn(
+            (bucket, Gp, fresh, self._ring_prefill(bucket, fresh)))
         self.rng, sk = jax.random.split(self.rng)
         with self.spans.span("prefill_dispatch"):
-            self.k_pages, self.v_pages, self.seen, first = prefill(
-                self.k_pages, self.v_pages, self.params,
+            (self.k_pages, self.v_pages, self.kv_aux, self.seen,
+             first) = prefill(
+                self.k_pages, self.v_pages, self.kv_aux, self.params,
                 jnp.asarray(tokens), jnp.asarray(positions), jnp.asarray(tables),
                 jnp.asarray(seq_lens), jnp.asarray(logits_idx),
                 jnp.asarray(rows), self.seen, jnp.asarray(seen_rows), samp,
@@ -963,9 +1030,9 @@ class Engine:
         min_toks = self._dev("min_tokens", lambda: jnp.asarray(self.min_tokens))
         plens = self._dev("prompt_lens", lambda: jnp.asarray(self.prompt_lens))
         with self.spans.span("decode_dispatch"):
-            (self.k_pages, self.v_pages, self.seen, last, lens, toks) = \
-                self._decode_fn(
-                    self.k_pages, self.v_pages, self.params,
+            (self.k_pages, self.v_pages, self.kv_aux, self.seen, last, lens,
+             toks) = self._decode_fn(
+                    self.k_pages, self.v_pages, self.kv_aux, self.params,
                     tables, self.seen,
                     last, lens, host_last, host_lens, jnp.asarray(use_host),
                     jnp.asarray(active), samp, key, min_toks, plens,

@@ -60,6 +60,37 @@ def write_kv_flat(
     return kf.reshape(LN, ps, K, D), vf.reshape(LN, ps, K, D)
 
 
+def quantize_kv_rows(rows: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """[B, T, K, D] bf16 → (int8 rows, f32 scales [B, T, K]).
+
+    Symmetric per-(token, head) quantization: one scale per cache row, the
+    granularity that keeps rope-rotated keys accurate while halving KV HBM
+    traffic and footprint (SURVEY.md §7(a): sub-bf16 for the 235B-class
+    memory budget)."""
+    x = rows.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(x), axis=-1)                     # [B, T, K]
+    s = jnp.maximum(amax / 127.0, 1e-8)
+    q = jnp.clip(jnp.round(x / s[..., None]), -127, 127).astype(jnp.int8)
+    return q, s
+
+
+def write_scales_flat(
+    s_flat: jax.Array,      # [L*N, ps, K] f32 per-row scales, flattened view
+    s_new: jax.Array,       # [B, T, K]
+    positions: jax.Array,   # [B, T]; <0 ⇒ padding (dropped)
+    table_l: jax.Array,     # [B, P] page ids ALREADY offset by layer*N
+) -> jax.Array:
+    """Scatter per-row quantization scales alongside :func:`write_kv_flat`."""
+    LN, ps, K = s_flat.shape
+    pad = positions < 0
+    pos = jnp.maximum(positions, 0)
+    page_idx = jnp.take_along_axis(table_l, pos // ps, axis=1)
+    idx = jnp.where(pad, LN * ps, page_idx * ps + pos % ps).reshape(-1)
+    f = s_flat.reshape(LN * ps, K)
+    f = f.at[idx].set(s_new.reshape(-1, K), mode="drop")
+    return f.reshape(LN, ps, K)
+
+
 def write_rows_flat(
     flat: jax.Array,        # [L*N, ps, K, D] one flattened all-layer pool
     rows: jax.Array,        # [B, T, K, D]

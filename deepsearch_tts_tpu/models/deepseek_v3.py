@@ -301,6 +301,8 @@ def forward(
     impl: str = "xla",
     slot_decode: bool = False,
     fresh_prefill: bool = False,
+    ring_mesh=None,
+    ring_axis: str = "tp",
 ):
     """Same serving/training contract as models/qwen3.forward, except the
     cache is latent-only: rows go into k_pages exclusively and v_pages is
@@ -332,7 +334,9 @@ def forward(
                 kpf = write_rows_flat(kpf, rows, positions, table_l)
                 if fresh_prefill:
                     attn = attn_ops.causal_attention(
-                        q_eff, rows, rows[..., :KL], scale=scale, impl="xla")
+                        q_eff, rows, rows[..., :KL], scale=scale,
+                        impl=impl if impl == "ring" else "xla",
+                        ring_mesh=ring_mesh, ring_axis=ring_axis)
                 elif slot_decode:
                     k_ctx = jax.lax.dynamic_slice_in_dim(kpf, layer * N, N, 0)
                     attn = attn_ops.masked_context_attention(
@@ -372,5 +376,10 @@ def forward(
     head = params.get("lm_head")
     if head is None:
         head = params["embed"].T
-    logits = jnp.dot(x, head, preferred_element_type=jnp.float32)
+    if isinstance(head, dict):   # int8 lm_head (ops/quant.maybe_int8_dot)
+        from ..ops.quant import int8_matmul
+
+        logits = int8_matmul(x, head["q"], head["scales"]).astype(jnp.float32)
+    else:
+        logits = jnp.dot(x, head, preferred_element_type=jnp.float32)
     return (logits, (k_pages, v_pages) if serving else None)

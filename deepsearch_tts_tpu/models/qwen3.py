@@ -172,6 +172,10 @@ def forward(
     impl: str = "xla",
     slot_decode: bool = False,  # contiguous-slot decode: batch row == pool row
     fresh_prefill: bool = False,  # no cached prefix: attend over the chunk only
+    ring_mesh=None,             # impl="ring": sequence-parallel fresh prefill
+    ring_axis: str = "tp",
+    k_scales: jax.Array | None = None,  # int8 KV: [L, N, ps, K] f32 scales
+    v_scales: jax.Array | None = None,
 ):
     """Run the decoder.
 
@@ -181,9 +185,14 @@ def forward(
     Training mode (pages None): full causal attention, returns
     ``(logits [B,T,V], None)``.
     """
-    from ..engine.kvcache import write_kv_flat
+    from ..engine.kvcache import (
+        quantize_kv_rows,
+        write_kv_flat,
+        write_scales_flat,
+    )
 
     serving = k_pages is not None
+    kv_int8 = serving and k_scales is not None
     x = jnp.take(params["embed"], tokens, axis=0)
     cos, sin = rope_angles(jnp.maximum(positions, 0), cfg.head_dim, cfg.rope_theta)
 
@@ -202,21 +211,41 @@ def forward(
         ps = k_pages.shape[2]
         kpf = k_pages.reshape((L * N,) + k_pages.shape[2:])
         vpf = v_pages.reshape((L * N,) + v_pages.shape[2:])
+        if kv_int8:
+            ksf = k_scales.reshape((L * N,) + k_scales.shape[2:])
+            vsf = v_scales.reshape((L * N,) + v_scales.shape[2:])
+        else:
+            ksf = vsf = None
         if slot_decode:
             page_table = jnp.arange(tokens.shape[0], dtype=jnp.int32)[:, None]
 
         def body(carry, lp):
-            x, kpf, vpf, layer = carry
+            if kv_int8:
+                x, kpf, vpf, ksf, vsf, layer = carry
+            else:
+                x, kpf, vpf, layer = carry
+                ksf = vsf = None
             table_l = page_table + layer * N
 
             def attend(q, k, v):
-                kw, vw = write_kv_flat(kpf, vpf, k, v, positions, table_l)
+                if kv_int8:
+                    kq, ks_new = quantize_kv_rows(k)
+                    vq, vs_new = quantize_kv_rows(v)
+                    kw, vw = write_kv_flat(kpf, vpf, kq, vq, positions, table_l)
+                    ksw = write_scales_flat(ksf, ks_new, positions, table_l)
+                    vsw = write_scales_flat(vsf, vs_new, positions, table_l)
+                else:
+                    kw, vw = write_kv_flat(kpf, vpf, k, v, positions, table_l)
+                    ksw = vsw = None
                 if fresh_prefill:
                     # positions start at 0 ⇒ causal attention over the chunk
                     # itself (no paged read of the empty page budget). Padded
                     # tail tokens produce garbage rows that are never read.
-                    out = attn_ops.causal_attention(q, k, v, impl=impl
-                                                    if impl != "xla" else "xla")
+                    # impl="ring" shards the chunk's sequence over the mesh
+                    # (long-prefill path, ops/ring_attention.py).
+                    out = attn_ops.causal_attention(
+                        q, k, v, impl=impl, ring_mesh=ring_mesh,
+                        ring_axis=ring_axis)
                 elif slot_decode:
                     k_ctx = jax.lax.dynamic_slice_in_dim(kw, layer * N, N, 0)
                     v_ctx = jax.lax.dynamic_slice_in_dim(vw, layer * N, N, 0)
@@ -225,9 +254,9 @@ def forward(
                 else:
                     out = attn_ops.paged_attention(
                         q, kw, vw, table_l, seq_lens, jnp.maximum(positions, 0),
-                        impl=impl,
+                        impl=impl, k_scales=ksw, v_scales=vsw,
                     )
-                return out, kw, vw
+                return out, kw, vw, ksw, vsw
 
             B, T, E = x.shape
             H, K, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
@@ -245,7 +274,7 @@ def forward(
             k = rms_norm(k, lp["k_norm"], cfg.rms_eps)
             q = apply_rope(q, cos, sin).astype(x.dtype)
             k = apply_rope(k, cos, sin).astype(x.dtype)
-            o, kpf, vpf = attend(q, k, v.astype(x.dtype))
+            o, kpf, vpf, ksf, vsf = attend(q, k, v.astype(x.dtype))
             o = maybe_int8_dot(o.reshape(B, T, H * D), lp["wo"])
             x = x + o.astype(x.dtype)
             h = rms_norm(x, lp["ln2"], cfg.rms_eps)
@@ -259,10 +288,19 @@ def forward(
             mlp = maybe_int8_dot(jax.nn.silu(g.astype(jnp.float32)).astype(u.dtype) * u,
                                  lp["w_down"])
             x = x + mlp.astype(x.dtype)
+            if kv_int8:
+                return (x, kpf, vpf, ksf, vsf, layer + 1), None
             return (x, kpf, vpf, layer + 1), None
 
-        (x, kpf, vpf, _), _ = jax.lax.scan(
-            body, (x, kpf, vpf, jnp.zeros((), jnp.int32)), lp_stack)
+        if kv_int8:
+            (x, kpf, vpf, ksf, vsf, _), _ = jax.lax.scan(
+                body, (x, kpf, vpf, ksf, vsf, jnp.zeros((), jnp.int32)),
+                lp_stack)
+            k_scales = ksf.reshape(k_scales.shape)
+            v_scales = vsf.reshape(v_scales.shape)
+        else:
+            (x, kpf, vpf, _), _ = jax.lax.scan(
+                body, (x, kpf, vpf, jnp.zeros((), jnp.int32)), lp_stack)
         k_pages = kpf.reshape(k_pages.shape)
         v_pages = vpf.reshape(v_pages.shape)
     else:
@@ -279,5 +317,14 @@ def forward(
     head = params.get("lm_head")
     if head is None:
         head = params["embed"].T
-    logits = jnp.dot(x, head, preferred_element_type=jnp.float32)
-    return (logits, (k_pages, v_pages) if serving else None)
+    if isinstance(head, dict):   # int8 lm_head (ops/quant.maybe_int8_dot)
+        from ..ops.quant import int8_matmul
+
+        logits = int8_matmul(x, head["q"], head["scales"]).astype(jnp.float32)
+    else:
+        logits = jnp.dot(x, head, preferred_element_type=jnp.float32)
+    if not serving:
+        return (logits, None)
+    if kv_int8:
+        return (logits, (k_pages, v_pages, k_scales, v_scales))
+    return (logits, (k_pages, v_pages))

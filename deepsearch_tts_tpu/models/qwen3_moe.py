@@ -142,6 +142,8 @@ def forward(
     impl: str = "xla",
     slot_decode: bool = False,
     fresh_prefill: bool = False,
+    ring_mesh=None,
+    ring_axis: str = "tp",
 ):
     """Same contract as models/qwen3.forward (serving + training modes)."""
     from ..engine.kvcache import write_kv_flat
@@ -190,7 +192,9 @@ def forward(
             def attend(q, k, v):
                 kw, vw = write_kv_flat(kpf, vpf, k, v, positions, table_l)
                 if fresh_prefill:
-                    out = attn_ops.causal_attention(q, k, v, impl="xla")
+                    out = attn_ops.causal_attention(
+                        q, k, v, impl=impl if impl == "ring" else "xla",
+                        ring_mesh=ring_mesh, ring_axis=ring_axis)
                 elif slot_decode:
                     k_ctx = jax.lax.dynamic_slice_in_dim(kw, layer * N, N, 0)
                     v_ctx = jax.lax.dynamic_slice_in_dim(vw, layer * N, N, 0)
@@ -229,5 +233,10 @@ def forward(
     head = params.get("lm_head")
     if head is None:
         head = params["embed"].T
-    logits = jnp.dot(x, head, preferred_element_type=jnp.float32)
+    if isinstance(head, dict):   # int8 lm_head (ops/quant.maybe_int8_dot)
+        from ..ops.quant import int8_matmul
+
+        logits = int8_matmul(x, head["q"], head["scales"]).astype(jnp.float32)
+    else:
+        logits = jnp.dot(x, head, preferred_element_type=jnp.float32)
     return (logits, (k_pages, v_pages) if serving else None)

@@ -39,8 +39,17 @@ def _gqa_out(probs: jax.Array, v: jax.Array, dtype) -> jax.Array:
 def causal_attention(
     q: jax.Array, k: jax.Array, v: jax.Array,
     *, scale: float | None = None, impl: str = "xla",
+    ring_mesh=None, ring_axis: str = "tp",
 ) -> jax.Array:
-    """Full causal self-attention. q,k,v: [B,T,{H|K},D] → [B,T,H,D]."""
+    """Full causal self-attention. q,k,v: [B,T,{H|K},D] → [B,T,H,D].
+
+    ``impl="ring"`` shards the sequence over ``ring_axis`` of ``ring_mesh``
+    and rotates K/V blocks over ICI (ops/ring_attention.py) — the engine's
+    long-prefill path (sp aliases tp per parallel/mesh.py)."""
+    if impl == "ring" and ring_mesh is not None:
+        from .ring_attention import ring_attention
+        return ring_attention(q, k, v, mesh=ring_mesh, axis=ring_axis,
+                              scale=scale)
     if impl == "pallas":
         from .flash_attention import flash_attention
         return flash_attention(q, k, v, scale=scale, causal=True)
@@ -62,6 +71,8 @@ def paged_attention(
     seq_lens: jax.Array,          # [B] total valid tokens (incl. current chunk)
     q_positions: jax.Array,       # [B, T] absolute position of each query token
     *, scale: float | None = None, impl: str = "xla",
+    k_scales: jax.Array | None = None,   # [N, ps, K] int8-KV dequant scales
+    v_scales: jax.Array | None = None,
 ) -> jax.Array:
     """Attend queries over their sequence's paged KV (causal by position).
 
@@ -92,6 +103,13 @@ def paged_attention(
 
     k_ctx = k_pages[page_table].reshape(B, S, K, D)
     v_ctx = v_pages[page_table].reshape(B, S, K, D)
+    if k_scales is not None:
+        # int8 KV: dequant fuses into the gather's consumer — the pool read
+        # itself stays 1 byte/elem (+ 4/D for scales)
+        ks = k_scales[page_table].reshape(B, S, K, 1)
+        vs = v_scales[page_table].reshape(B, S, K, 1)
+        k_ctx = (k_ctx.astype(jnp.float32) * ks).astype(q.dtype)
+        v_ctx = (v_ctx.astype(jnp.float32) * vs).astype(q.dtype)
     return masked_context_attention(q, k_ctx, v_ctx, seq_lens, q_positions,
                                     scale=scale)
 

@@ -34,8 +34,55 @@ def route_topk(router_logits: jax.Array, top_k: int, norm_topk_prob: bool = True
     return top_p, top_e.astype(jnp.int32)
 
 
+def _is_quant(w) -> bool:
+    return isinstance(w, dict) and "q" in w
+
+
+def _expert_dot(xe: jax.Array, w) -> jax.Array:
+    """Batched per-expert matmul ``[e,c,d] @ [e,d,f] -> [e,c,f]`` (f32 out).
+
+    int8 ``{q, scales}`` weights keep the int8 operand on the MXU and fold
+    the per-channel dequant into the f32 accumulator (no bf16
+    materialization of w) — the expert analog of ops.quant.int8_matmul."""
+    dims = (((2,), (1,)), ((0,), (0,)))
+    if _is_quant(w):
+        acc = jax.lax.dot_general(xe.astype(jnp.bfloat16), w["q"], dims,
+                                  preferred_element_type=jnp.float32)
+        return acc * w["scales"].astype(jnp.float32)   # [e,1,f] broadcast
+    return jax.lax.dot_general(xe, w, dims, preferred_element_type=jnp.float32)
+
+
+def _expert_ffn_blocked(x_sorted, w_gate, w_up, w_down, group_sizes,
+                        capacity_factor: float = 2.0):
+    """Grouped SwiGLU for int8 expert weights: ``lax.ragged_dot`` has no
+    int8 path, so expert-sorted rows are scattered into fixed
+    ``[n_exp, cap]`` blocks and run through batched int8 matmuls with fused
+    dequant. Rows beyond an expert's capacity are dropped (standard
+    capacity-factor semantics; cap defaults to 2x the balanced load)."""
+    S, E = x_sorted.shape
+    n = group_sizes.shape[0]
+    cap = -(-int(capacity_factor * S) // int(n))
+    cap = max(8, -(-cap // 8) * 8)
+    ends = jnp.cumsum(group_sizes)
+    rows = jnp.arange(S, dtype=jnp.int32)
+    eid = jnp.searchsorted(ends, rows, side="right").astype(jnp.int32)
+    pos = rows - (ends - group_sizes)[jnp.clip(eid, 0, n - 1)]
+    in_cap = pos < cap
+    xe = jnp.zeros((n, cap, E), x_sorted.dtype).at[
+        eid, jnp.where(in_cap, pos, cap)].set(x_sorted, mode="drop")
+    g = _expert_dot(xe, w_gate)
+    u = _expert_dot(xe, w_up)
+    h = (jax.nn.silu(g) * u).astype(x_sorted.dtype)
+    y = _expert_dot(h, w_down)                                  # [n,cap,E] f32
+    out = y[eid, jnp.clip(pos, 0, cap - 1)]
+    return jnp.where(in_cap[:, None], out, 0.0).astype(x_sorted.dtype)
+
+
 def _expert_ffn_ragged(x_sorted, w_gate, w_up, w_down, group_sizes):
-    """Grouped SwiGLU over expert-sorted rows via ragged_dot."""
+    """Grouped SwiGLU over expert-sorted rows via ragged_dot (bf16) or the
+    blocked int8 path (quantized expert weights)."""
+    if _is_quant(w_gate):
+        return _expert_ffn_blocked(x_sorted, w_gate, w_up, w_down, group_sizes)
     g = jax.lax.ragged_dot(x_sorted, w_gate, group_sizes)
     u = jax.lax.ragged_dot(x_sorted, w_up, group_sizes)
     h = (jax.nn.silu(g.astype(jnp.float32)) * u.astype(jnp.float32)).astype(x_sorted.dtype)
@@ -102,8 +149,8 @@ def moe_capacity(
                       pos_oh.astype(jnp.float32), gates).astype(x.dtype)
 
     xe = jnp.einsum("tec,td->ecd", disp, x)                        # [n_exp,cap,E]
-    g = jnp.einsum("ecd,edf->ecf", xe, w_gate)
-    u = jnp.einsum("ecd,edf->ecf", xe, w_up)
-    h = (jax.nn.silu(g.astype(jnp.float32)) * u.astype(jnp.float32)).astype(x.dtype)
-    ye = jnp.einsum("ecf,efd->ecd", h, w_down)                     # [n_exp,cap,E]
+    g = _expert_dot(xe, w_gate)
+    u = _expert_dot(xe, w_up)
+    h = (jax.nn.silu(g) * u).astype(x.dtype)
+    ye = _expert_dot(h, w_down).astype(x.dtype)                    # [n_exp,cap,E]
     return jnp.einsum("tec,ecd->td", comb, ye).astype(x.dtype)

@@ -80,10 +80,28 @@ QUANT_KEYS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down",
               "d_gate", "d_up", "d_down", "s_gate", "s_up", "s_down",
               "w_qb", "w_kb", "w_vb", "lm_head")
 
-# routed-expert weights go through lax.ragged_dot, which has no int8 path —
-# MoE families quantize everything else
+# legacy subset: ragged_dot has no int8 path, but quantized routed experts
+# now run the blocked grouped matmul (ops/moe._expert_ffn_blocked), so MoE
+# families quantize everything; kept for callers that want bf16 experts
 QUANT_KEYS_NO_EXPERTS = tuple(k for k in QUANT_KEYS
                               if k not in ("w_gate", "w_up", "w_down"))
+
+
+def quantized_logical_axes(params: dict, axes_tree: dict) -> dict:
+    """Expand a logical-axes tree to match quantized params: each
+    ``{q, scales}`` leaf gets the original axes for ``q`` and the same axes
+    with the contracted dim dropped (None) for its ``[..., 1, N]`` scales —
+    so EP/TP sharding of int8 experts works through shard_pytree."""
+    def fix(p, ax):
+        if isinstance(p, dict) and "q" in p and "scales" in p:
+            ax = tuple(ax)
+            return {"q": ax, "scales": ax[:-2] + (None, ax[-1])}
+        return tuple(ax) if isinstance(ax, (list, tuple)) else ax
+
+    return jax.tree.map(
+        fix, params, axes_tree,
+        is_leaf=lambda x: (isinstance(x, dict) and "q" in x and "scales" in x)
+        or isinstance(x, jax.Array))
 
 
 def quantize_params(params: dict, seed: int = 0,

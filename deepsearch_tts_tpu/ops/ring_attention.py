@@ -54,17 +54,19 @@ def ring_attention(
     chunk = q.shape[1] // n
 
     def local(qc, kc, vc):
-        # qc: [B, chunk, H, D] local shard
+        # qc: [B, chunk, H, D] local shard; v may have a different feature
+        # dim than q/k (MLA latent rows: D_v = kv_lora_rank)
         B, Tq, H, _ = qc.shape
         Kh = kc.shape[2]
         G = H // Kh
+        Dv = vc.shape[-1]
         my = jax.lax.axis_index(axis)
 
         # mark accumulators device-varying so both cond branches agree on the
         # manual-axes type inside shard_map
         m0 = jax.lax.pvary(jnp.full((B, Kh, G, Tq, 1), NEG_INF, jnp.float32), axis)
         l0 = jax.lax.pvary(jnp.zeros((B, Kh, G, Tq, 1), jnp.float32), axis)
-        a0 = jax.lax.pvary(jnp.zeros((B, Tq, H, D), jnp.float32), axis)
+        a0 = jax.lax.pvary(jnp.zeros((B, Tq, H, Dv), jnp.float32), axis)
 
         def body(step, carry):
             m, l, acc, kb, vb = carry
@@ -77,7 +79,7 @@ def ring_attention(
                 alpha = jnp.exp(m - m_new)
                 l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
                 pv = jnp.einsum("bkgts,bskd->btkgd", p, vb.astype(jnp.float32))
-                pv = pv.reshape(B, Tq, H, D)
+                pv = pv.reshape(B, Tq, H, Dv)
                 alpha_r = alpha.transpose(0, 3, 1, 2, 4).reshape(B, Tq, H, 1)
                 return m_new, l_new, acc * alpha_r + pv
 

@@ -154,3 +154,103 @@ def test_abort_request():
     eng.shutdown()
     assert res.finish_reason in ("aborted", "stop", "length")
     assert res.completion_tokens < 400 or res.finish_reason != "aborted"
+
+
+def _greedy_equiv(prompt, a_ids, b_ids, params, cfg, tol=0.05):
+    """Greedy trajectories from different shardings are equal modulo bf16
+    near-ties: walk both until they diverge; the divergence point must be a
+    near-tie under the single-device oracle (random-weight logit gaps of
+    ~1e-3 flip with collective reduction order), after which the contexts
+    legitimately differ."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from deepsearch_tts_tpu.models.qwen3 import forward
+
+    ctx = list(prompt)
+    for i, (ta, tb) in enumerate(zip(a_ids, b_ids)):
+        if ta == tb:
+            ctx.append(ta)
+            continue
+        toks = jnp.asarray([ctx], jnp.int32)
+        pos = jnp.arange(len(ctx), dtype=jnp.int32)[None]
+        logits, _ = forward(params, cfg, toks, pos)
+        row = np.asarray(logits[0, -1], np.float32)
+        gap = abs(float(row[ta]) - float(row[tb]))
+        assert gap < tol, (
+            f"divergence at step {i}: {ta} vs {tb} with oracle gap {gap}")
+        return  # contexts now differ; later tokens are incomparable
+    assert len(a_ids) == len(b_ids)
+
+
+def test_ring_prefill_matches_unsharded():
+    """Long fresh prefills route through ring attention (sequence sharded
+    over the tp axis, K/V rotating via ppermute); the greedy continuation
+    must match the unsharded engine's modulo oracle-verified bf16 near-ties,
+    and decode must proceed normally from the ring-built KV pages."""
+    cfg = QWEN3_CONFIGS["qwen3-test"]
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    tk = ByteTokenizer()
+    prompt = [(7 * i + 3) % cfg.vocab_size for i in range(100)]  # bucket 128
+
+    ref_eng = Engine("qwen3-test", tk, params=params, max_slots=2, page_size=4,
+                     n_pages=128, max_seq_len=256, decode_chunk_len=4)
+    ref = ref_eng.generate(_req(prompt, n=8))
+    ref_eng.shutdown()
+
+    from deepsearch_tts_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(dp=1, tp=4, devices=jax.devices()[:4])
+    eng = Engine("qwen3-test", tk, params=params, mesh=mesh, max_slots=2,
+                 page_size=4, n_pages=128, max_seq_len=256,
+                 decode_chunk_len=4, ring_prefill_len=64)
+    assert eng._ring_prefill(128, fresh=True) and not eng._ring_prefill(32, True)
+    out = eng.generate(_req(prompt, n=8))
+    # the ring program must actually be in the jit cache (routing proof)
+    assert any(len(k) == 4 and k[3] for k in eng._jit_cache), \
+        "ring prefill program was never built"
+    eng.shutdown()
+
+    assert out.token_ids[0] == ref.token_ids[0]
+    assert len(out.token_ids) == len(ref.token_ids) == 8
+    _greedy_equiv(prompt, out.token_ids, ref.token_ids, params, cfg)
+
+
+def test_moe_engine_int8_experts_ep(mesh8):
+    """quantize='int8' now covers routed experts (blocked grouped matmul,
+    ops/moe._expert_ffn_blocked) and the quantized {q, scales} leaves shard
+    over the ep mesh axis; the engine must serve end-to-end on both a
+    single device and an ep x tp mesh with sane output."""
+    from dataclasses import replace
+
+    from deepsearch_tts_tpu.models import qwen3_moe, registry
+    from deepsearch_tts_tpu.models.qwen3_moe import QWEN3_MOE_CONFIGS
+    from deepsearch_tts_tpu.parallel.mesh import make_mesh
+
+    cfg = replace(QWEN3_MOE_CONFIGS["qwen3-moe-test"], moe_impl="capacity",
+                  capacity_factor=8.0)
+    registry.register("moe-int8-test", cfg, qwen3_moe.init_params,
+                      qwen3_moe.forward, lambda cfg=cfg: qwen3_moe.logical_axes(cfg))
+    params = qwen3_moe.init_params(cfg, jax.random.PRNGKey(0))
+    tk = ByteTokenizer()
+    prompt = list(range(30, 50))
+
+    solo = Engine("moe-int8-test", tk, params=params, max_slots=2, page_size=4,
+                  n_pages=64, max_seq_len=128, decode_chunk_len=4,
+                  quantize="int8", pack_weights=False)
+    # routed experts really are int8 now
+    assert solo.params["layers"]["w_gate"]["q"].dtype.name == "int8"
+    a = solo.generate(_req(prompt, n=6))
+    solo.shutdown()
+    assert len(a.token_ids) == 6
+
+    mesh = make_mesh(dp=1, ep=2, tp=2, devices=jax.devices()[:4])
+    eng = Engine("moe-int8-test", tk, params=params, mesh=mesh, max_slots=2,
+                 page_size=4, n_pages=64, max_seq_len=128, decode_chunk_len=4,
+                 quantize="int8")
+    b = eng.generate(_req(prompt, n=6))
+    eng.shutdown()
+    assert len(b.token_ids) == 6 and b.finish_reason in ("stop", "length")
+    # int8 rounding differs from bf16 but the models share weights: leading
+    # token should agree between the two int8 engines
+    assert a.token_ids[0] == b.token_ids[0]

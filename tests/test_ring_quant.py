@@ -88,3 +88,101 @@ def test_int8_engine_generates():
     eng.shutdown()
     assert len(res.token_ids) == 6
     assert res.finish_reason in ("stop", "length")
+
+
+def test_int8_experts_blocked_matches_ragged():
+    """Quantized routed experts run the blocked grouped matmul
+    (ops/moe._expert_ffn_blocked) and must track the bf16 ragged path."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from deepsearch_tts_tpu.ops.moe import moe_ragged
+    from deepsearch_tts_tpu.ops.quant import quantize_params
+
+    rng = np.random.default_rng(0)
+    T, E, F, NE, K = 24, 32, 48, 8, 2
+    x = jnp.asarray(rng.normal(size=(T, E)), jnp.bfloat16)
+    router = jnp.asarray(rng.normal(size=(E, NE)), jnp.bfloat16)
+    ws = {
+        "w_gate": jnp.asarray(rng.normal(size=(NE, E, F)) * 0.2, jnp.bfloat16),
+        "w_up": jnp.asarray(rng.normal(size=(NE, E, F)) * 0.2, jnp.bfloat16),
+        "w_down": jnp.asarray(rng.normal(size=(NE, F, E)) * 0.2, jnp.bfloat16),
+    }
+    ref = moe_ragged(x, router, ws["w_gate"], ws["w_up"], ws["w_down"], K)
+    wq = quantize_params(ws)
+    assert isinstance(wq["w_gate"], dict) and wq["w_gate"]["q"].dtype == jnp.int8
+    out = moe_ragged(x, router, wq["w_gate"], wq["w_up"], wq["w_down"], K)
+    err = float(jnp.max(jnp.abs(out.astype(jnp.float32) - ref.astype(jnp.float32))))
+    scale = float(jnp.max(jnp.abs(ref.astype(jnp.float32)))) + 1e-6
+    assert err / scale < 0.08, f"relative error {err/scale}"
+
+
+def test_int8_quantized_logical_axes():
+    import jax.numpy as jnp
+    import numpy as np
+
+    from deepsearch_tts_tpu.ops.quant import quantize_params, quantized_logical_axes
+
+    params = {"w_gate": jnp.asarray(np.ones((2, 4, 8, 16)), jnp.bfloat16),
+              "ln1": jnp.ones((2, 8), jnp.bfloat16)}
+    axes = {"w_gate": ("layer", "expert", "embed", "expert_mlp"),
+            "ln1": ("layer", "embed")}
+    qp = quantize_params(params)
+    fixed = quantized_logical_axes(qp, axes)
+    assert fixed["w_gate"]["q"] == ("layer", "expert", "embed", "expert_mlp")
+    assert fixed["w_gate"]["scales"] == ("layer", "expert", None, "expert_mlp")
+    assert tuple(fixed["ln1"]) == ("layer", "embed")
+
+
+def test_int8_kv_cache_end_to_end():
+    """kv_quantize='int8': pools are int8 with per-row scales and greedy
+    output tracks the bf16-cache engine (same weights)."""
+    import jax
+    import jax.numpy as jnp
+
+    from deepsearch_tts_tpu.engine.engine import Engine, GenerationRequest
+    from deepsearch_tts_tpu.engine.tokenizer import ByteTokenizer
+    from deepsearch_tts_tpu.models.qwen3 import QWEN3_CONFIGS, init_params
+
+    cfg = QWEN3_CONFIGS["qwen3-test"]
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    tk = ByteTokenizer()
+    prompt = list(range(20, 44))
+    req = lambda: GenerationRequest(prompt_ids=list(prompt), max_tokens=8,
+                                    temperature=0.0, repetition_penalty=1.0)
+
+    ref = Engine("qwen3-test", tk, params=params, max_slots=2, page_size=4,
+                 n_pages=64, max_seq_len=128, decode_chunk_len=4,
+                 pack_weights=False)
+    a = ref.generate(req())
+    ref.shutdown()
+
+    eng = Engine("qwen3-test", tk, params=params, max_slots=2, page_size=4,
+                 n_pages=64, max_seq_len=128, decode_chunk_len=4,
+                 pack_weights=False, kv_quantize="int8")
+    assert eng.k_pages.dtype == jnp.int8 and eng.v_pages.dtype == jnp.int8
+    assert eng.kv_aux["ks"].shape == eng.k_pages.shape[:-1]
+    b = eng.generate(req())
+    c = eng.generate(req())
+    eng.shutdown()
+
+    assert b.token_ids == c.token_ids          # int8 path is deterministic
+    assert len(b.token_ids) == 8
+    # int8 KV rounds attention inputs; first tokens should still agree
+    assert b.token_ids[0] == a.token_ids[0]
+
+
+def test_int8_kv_rejected_for_unsupported_modes():
+    import jax
+    import pytest as _pytest
+
+    from deepsearch_tts_tpu.engine.engine import Engine
+    from deepsearch_tts_tpu.engine.tokenizer import ByteTokenizer
+    from deepsearch_tts_tpu.models.qwen3 import QWEN3_CONFIGS, init_params
+
+    cfg = QWEN3_CONFIGS["qwen3-test"]
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    with _pytest.raises(ValueError, match="paged cache"):
+        Engine("qwen3-test", ByteTokenizer(), params=params, max_slots=2,
+               cache_mode="slot", kv_quantize="int8", max_seq_len=64)

@@ -214,3 +214,136 @@ def test_mla_rope_deinterleave():
     ours = x @ _deinterleave_rope_cols(W, r)
     np.testing.assert_allclose(ours[4:], hf_rope, rtol=1e-12)
     np.testing.assert_allclose(ours[:4], raw[:4], rtol=1e-12)
+
+
+def test_convert_qwen3_moe_roundtrip():
+    """Synthesize an HF-named raw dict by inverting the converter's mapping
+    from our own init_params, convert, and require exact tree equality —
+    covers every key, stacking order, and transpose."""
+    import numpy as np
+
+    from deepsearch_tts_tpu.engine.weights import convert_qwen3_moe
+    from deepsearch_tts_tpu.models.qwen3_moe import QWEN3_MOE_CONFIGS, init_params
+
+    cfg = QWEN3_MOE_CONFIGS["qwen3-moe-test"]
+    params = init_params(cfg, jax.random.PRNGKey(1))
+    lp = params["layers"]
+    raw = {
+        "model.embed_tokens.weight": np.asarray(params["embed"], np.float32),
+        "model.norm.weight": np.asarray(params["final_norm"], np.float32),
+    }
+    name_map = {
+        "ln1": ("input_layernorm.weight", False),
+        "ln2": ("post_attention_layernorm.weight", False),
+        "q_norm": ("self_attn.q_norm.weight", False),
+        "k_norm": ("self_attn.k_norm.weight", False),
+        "wq": ("self_attn.q_proj.weight", True),
+        "wk": ("self_attn.k_proj.weight", True),
+        "wv": ("self_attn.v_proj.weight", True),
+        "wo": ("self_attn.o_proj.weight", True),
+        "router": ("mlp.gate.weight", True),
+    }
+    for ours, (hf, transpose) in name_map.items():
+        for i in range(cfg.n_layers):
+            m = np.asarray(lp[ours][i], np.float32)
+            raw[f"model.layers.{i}.{hf}"] = m.T if transpose else m
+    for ours, hf in (("w_gate", "gate_proj"), ("w_up", "up_proj"),
+                     ("w_down", "down_proj")):
+        for i in range(cfg.n_layers):
+            for e in range(cfg.n_experts):
+                raw[f"model.layers.{i}.mlp.experts.{e}.{hf}.weight"] = \
+                    np.asarray(lp[ours][i, e], np.float32).T
+    if not cfg.tie_embeddings:
+        raw["lm_head.weight"] = np.asarray(params["lm_head"], np.float32).T
+
+    out = convert_qwen3_moe(raw, cfg)
+    flat_a = jax.tree_util.tree_leaves_with_path(params)
+    flat_b = dict(jax.tree_util.tree_leaves_with_path(out))
+    assert len(flat_a) == len(flat_b)
+    for path, leaf in flat_a:
+        other = flat_b[path]
+        assert np.allclose(np.asarray(leaf, np.float32),
+                           np.asarray(other, np.float32), atol=1e-2), path
+
+
+def test_convert_deepseek_v3_roundtrip():
+    """Deepseek/Kimi converter: invert the mapping (incl. re-interleaving
+    the rope columns and re-merging kv_b) and require the converter to
+    reproduce init_params exactly. Covers the HF-interleaved-rope fix
+    (reference loaders: vLLM is_neox_style=False for this family)."""
+    import numpy as np
+
+    from deepsearch_tts_tpu.engine.weights import convert_deepseek_v3
+    from deepsearch_tts_tpu.models.deepseek_v3 import DEEPSEEK_V3_CONFIGS, init_params
+
+    cfg = DEEPSEEK_V3_CONFIGS["deepseek-v3-test"]
+    params = init_params(cfg, jax.random.PRNGKey(2))
+    H, QN, QR, VD = (cfg.n_heads, cfg.qk_nope_head_dim, cfg.qk_rope_head_dim,
+                     cfg.v_head_dim)
+    KL, LD, L = cfg.kv_lora_rank, cfg.first_k_dense, cfg.n_layers
+
+    perm = np.concatenate([np.arange(0, QR, 2), np.arange(1, QR, 2)])
+    inv = np.argsort(perm)
+
+    def interleave_last(w, r):
+        w = np.array(w)
+        w[..., -r:] = w[..., -r:][..., inv]
+        return w
+
+    raw = {
+        "model.embed_tokens.weight": np.asarray(params["embed"], np.float32),
+        "model.norm.weight": np.asarray(params["final_norm"], np.float32),
+    }
+
+    def put_attn(stack, layers):
+        for j, i in enumerate(layers):
+            pre = f"model.layers.{i}."
+            raw[pre + "input_layernorm.weight"] = np.asarray(stack["ln1"][j], np.float32)
+            raw[pre + "post_attention_layernorm.weight"] = np.asarray(stack["ln2"][j], np.float32)
+            raw[pre + "self_attn.q_a_proj.weight"] = np.asarray(stack["w_qa"][j], np.float32).T
+            raw[pre + "self_attn.q_a_layernorm.weight"] = np.asarray(stack["q_a_norm"][j], np.float32)
+            qb = np.asarray(stack["w_qb"][j], np.float32)
+            qb = interleave_last(qb.reshape(qb.shape[0], H, QN + QR), QR
+                                 ).reshape(qb.shape)
+            raw[pre + "self_attn.q_b_proj.weight"] = qb.T
+            raw[pre + "self_attn.kv_a_proj_with_mqa.weight"] = \
+                interleave_last(np.asarray(stack["w_kva"][j], np.float32), QR).T
+            raw[pre + "self_attn.kv_a_layernorm.weight"] = np.asarray(stack["kv_a_norm"][j], np.float32)
+            kb = np.asarray(stack["w_kb"][j], np.float32).reshape(KL, H, QN)
+            vb = np.asarray(stack["w_vb"][j], np.float32).reshape(KL, H, VD)
+            raw[pre + "self_attn.kv_b_proj.weight"] = \
+                np.concatenate([kb, vb], axis=-1).reshape(KL, H * (QN + VD)).T
+            raw[pre + "self_attn.o_proj.weight"] = np.asarray(stack["wo"][j], np.float32).T
+
+    dense, moe = params["dense_layers"], params["moe_layers"]
+    put_attn(dense, range(LD))
+    put_attn(moe, range(LD, L))
+    for j, i in enumerate(range(LD)):
+        for ours, hf in (("d_gate", "gate_proj"), ("d_up", "up_proj"),
+                         ("d_down", "down_proj")):
+            raw[f"model.layers.{i}.mlp.{hf}.weight"] = \
+                np.asarray(dense[ours][j], np.float32).T
+    for j, i in enumerate(range(LD, L)):
+        pre = f"model.layers.{i}.mlp."
+        raw[pre + "gate.weight"] = np.asarray(moe["router"][j], np.float32).T
+        raw[pre + "gate.e_score_correction_bias"] = np.asarray(moe["router_bias"][j], np.float32)
+        for e in range(cfg.n_routed_experts):
+            for ours, hf in (("w_gate", "gate_proj"), ("w_up", "up_proj"),
+                             ("w_down", "down_proj")):
+                raw[f"model.layers.{i}.mlp.experts.{e}.{hf}.weight"] = \
+                    np.asarray(moe[ours][j, e], np.float32).T
+        for ours, hf in (("s_gate", "gate_proj"), ("s_up", "up_proj"),
+                         ("s_down", "down_proj")):
+            raw[pre + f"shared_experts.{hf}.weight"] = \
+                np.asarray(moe[ours][j], np.float32).T
+    if not cfg.tie_embeddings:
+        raw["lm_head.weight"] = np.asarray(params["lm_head"], np.float32).T
+
+    out = convert_deepseek_v3(raw, cfg)
+    flat_a = jax.tree_util.tree_leaves_with_path(params)
+    flat_b = dict(jax.tree_util.tree_leaves_with_path(out))
+    assert len(flat_a) == len(flat_b)
+    for path, leaf in flat_a:
+        assert np.allclose(np.asarray(leaf, np.float32),
+                           np.asarray(flat_b[path], np.float32),
+                           atol=1e-2), path
