@@ -47,10 +47,24 @@ class TokenUsage:
         return self.prompt_tokens + self.completion_tokens
 
 
+DEFAULT_PRICE_CONFIG = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "model_config", "aihubmix_price.json")
+
+
 def load_price_config(path: str | None) -> dict:
-    """Per-1K-token price table {model: {input: $, output: $}} (reference:
-    model_config/aihubmix_price.json)."""
-    if not path or not os.path.exists(path):
+    """Per-1K-token price table (reference: model_config/aihubmix_price.json,
+    schema ``{model: {prompt_tokens: $, completion_tokens: $}}``; the
+    ``input``/``output`` aliases are accepted too). With no explicit path,
+    the repo-shipped table is used; a missing file loads empty with a
+    warning instead of silently."""
+    if not path:
+        path = DEFAULT_PRICE_CONFIG
+    if not os.path.exists(path):
+        import sys
+
+        print(f"warning: price config {path!r} not found; costs will be 0",
+              file=sys.stderr)
         return {}
     with open(path, encoding="utf-8") as f:
         return json.load(f)
@@ -58,8 +72,10 @@ def load_price_config(path: str | None) -> dict:
 
 def calculate_cost(usage: TokenUsage, model_name: str, prices: dict) -> float:
     entry = prices.get(model_name) or {}
-    pin = float(entry.get("input", entry.get("prompt", 0.0)))
-    pout = float(entry.get("output", entry.get("completion", 0.0)))
+    pin = float(entry.get("prompt_tokens",
+                          entry.get("input", entry.get("prompt", 0.0))))
+    pout = float(entry.get("completion_tokens",
+                           entry.get("output", entry.get("completion", 0.0))))
     return usage.prompt_tokens / 1000.0 * pin + usage.completion_tokens / 1000.0 * pout
 
 

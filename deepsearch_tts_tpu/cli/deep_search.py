@@ -159,6 +159,10 @@ def make_search(args):
     if args.search_backend == "replay":
         store = ReplayStore.load(args.replay_path) if args.replay_path else ReplayStore()
         return ReplaySearchBackend(store), PageFetcher(raw_fetch=replay_fetcher(store))
+    if args.use_bing_pro:
+        from ..web.search import BingProBackend
+
+        return BingProBackend(args.bing_pro_token), PageFetcher()
     if args.search_backend == "bing":
         return BingBackend(args.bing_subscription_key), PageFetcher()
     return SerperBackend(args.serper_api_key), PageFetcher()

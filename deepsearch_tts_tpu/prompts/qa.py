@@ -213,10 +213,21 @@ Question: {question}
 """
 
 
-def get_task_instruction_math(question: str, max_search_limit: int = 10) -> str:
+def get_task_instruction_math(question: str, max_search_limit: int = 10,
+                              few_shot: int = 0) -> str:
+    """``few_shot > 0`` prepends worked CoT examples from the example bank
+    (evaluate/math_examples.py — the qwen toolkit's few-shot capability)."""
+    shots = ""
+    if few_shot:
+        from ..evaluate.math_examples import MATH_EXAMPLES
+
+        rendered = "\n\n".join(
+            f"Question: {ex['question']}\nSolution: {ex['solution']}"
+            for ex in MATH_EXAMPLES[:few_shot])
+        shots = f"Worked examples:\n\n{rendered}\n\n"
     return f"""{_inband_header(max_search_limit)}
 
-Solve the following math problem step by step. Provide your final answer in the form \\boxed{{YOUR_ANSWER}}.
+{shots}Solve the following math problem step by step. Provide your final answer in the form \\boxed{{YOUR_ANSWER}}.
 
 Problem: {question}
 """

@@ -172,6 +172,115 @@ class GoogleCSEBackend:
         raise RuntimeError(f"google cse search failed after retries: {last_err}")
 
 
+def normalize_pro(data: dict, top_k: int = 10) -> list[dict]:
+    """Multi-source gateway normalizer (reference:
+    scripts/search/bing_search.py:913-1052 extract_relevant_info_pro):
+    handles Serper organic+knowledgeGraph payloads, Tencent Search pages
+    (JSON strings under tencentSearchResults.Response.Pages), and Bing
+    Search Pro (bingSearchProResults.webPages.value with dates/ratings)."""
+    if "organic" in data and isinstance(data.get("organic"), list):
+        return normalize_serper(data, top_k)
+
+    out: list[dict] = []
+    if not data or str(data.get("code")) != "200":
+        return out
+
+    tencent = data.get("tencentSearchResults")
+    if tencent:
+        pages = tencent.get("Response", {}).get("Pages", [])
+        for i, page_str in enumerate(pages[:top_k]):
+            try:
+                page = json.loads(page_str)
+            except (json.JSONDecodeError, TypeError):
+                continue
+            url = page.get("url", "")
+            out.append({
+                "id": i + 1,
+                "title": page.get("title", ""),
+                "url": url,
+                "site_name": page.get("site", "") or
+                             (url.split("/")[2] if url.count("/") >= 2 else ""),
+                "date": page.get("date", "").split()[0] if page.get("date") else "",
+                "snippet": page.get("passage", ""),
+                "context": "",
+            })
+        return out
+
+    bing = data.get("bingSearchProResults", {})
+    for i, item in enumerate((bing.get("webPages") or {}).get("value", [])[:top_k]):
+        info = {
+            "id": i + 1,
+            "title": item.get("name", ""),
+            "url": item.get("url", ""),
+            "site_name": item.get("displayUrl", "").split("/")[0]
+                         if item.get("displayUrl") else "",
+            "date": item.get("datePublished", "").split("T")[0]
+                    if item.get("datePublished") else "",
+            "snippet": item.get("snippet", ""),
+            "context": "",
+        }
+        about = item.get("about") or []
+        if about and "aggregateRating" in about[0]:
+            r = about[0]["aggregateRating"]
+            info["rating"] = {"value": r.get("ratingValue"),
+                              "count": r.get("reviewCount"),
+                              "max": r.get("bestRating")}
+        out.append(info)
+    return out
+
+
+@dataclass
+class BingProBackend:
+    """Gateway search (the reference's Friday-API Bing-Search-Pro tier,
+    bing_search.py:825-910): POST ``{"query", "api"}`` with bearer-token
+    rotation over a comma-separated pool, rate-limited with randomized
+    retry backoff; responses go through :func:`normalize_pro` so the same
+    backend fronts Bing-Pro, Tencent, and Serper-shaped gateways.
+
+    ``transport(url, payload, headers) -> dict`` is pluggable (tests /
+    other gateways)."""
+
+    token: str
+    endpoint: str = "https://aigc.sankuai.com/v1/friday/api/search"
+    api: str = "bing-search-pro"
+    rate: RateLimiter = field(default_factory=lambda: RateLimiter(10, burst=10))
+    max_retries: int = 8
+    transport: object = None
+
+    def _pick_token(self) -> str:
+        import random
+
+        toks = [t.strip() for t in self.token.split(",") if t.strip()]
+        return random.choice(toks) if toks else ""
+
+    def _do(self, payload: dict, headers: dict) -> dict:
+        import urllib.request
+
+        req = urllib.request.Request(
+            self.endpoint, data=json.dumps(payload).encode(), headers=headers)
+        with urllib.request.urlopen(req, timeout=30) as r:
+            return json.loads(r.read().decode())
+
+    async def search(self, query: str, top_k: int = 10) -> list[dict]:
+        payload = {"query": query, "api": self.api}
+        last_err: Exception | None = None
+        for attempt in range(self.max_retries):
+            await self.rate.acquire()
+            headers = {"Authorization": f"Bearer {self._pick_token()}",
+                       "Content-Type": "application/json"}
+            try:
+                if self.transport is not None:
+                    data = self.transport(self.endpoint, payload, headers)
+                else:
+                    data = await asyncio.get_running_loop().run_in_executor(
+                        None, self._do, payload, headers)
+                return normalize_pro(data, top_k)
+            except Exception as e:
+                last_err = e
+                await asyncio.sleep(min(1 + attempt, 10))
+        raise RuntimeError(f"bing-pro search failed after retries: {last_err}")
+
+
 def format_search_results(results: list[dict]) -> str:
     """Render normalized rows for an LLM prompt (JSON-lines style)."""
     blocks = []

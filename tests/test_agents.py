@@ -238,3 +238,22 @@ def test_httpclient_forwards_stop_and_sampler_knobs():
     assert captured["stop"] == ["<|end_search_query|>"]
     assert captured["include_stop_str_in_output"] is True
     assert captured["top_k"] == 20 and captured["repetition_penalty"] == 1.05
+
+
+def test_price_config_ships_and_prices_cost():
+    """The repo ships model_config price tables (reference:
+    model_config/aihubmix_price.json schema) and the cost calc understands
+    the prompt_tokens/completion_tokens keys."""
+    from deepsearch_tts_tpu.agents.tracing import (
+        DEFAULT_PRICE_CONFIG,
+        TokenUsage,
+        calculate_cost,
+        load_price_config,
+    )
+
+    prices = load_price_config(None)
+    assert DEFAULT_PRICE_CONFIG.endswith("model_config/aihubmix_price.json")
+    assert prices, "default price table loaded empty"
+    u = TokenUsage(prompt_tokens=1000, completion_tokens=1000)
+    cost = calculate_cost(u, "Kimi-K2", prices)
+    assert abs(cost - (0.00054 + 0.00216)) < 1e-9

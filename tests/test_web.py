@@ -212,3 +212,61 @@ def test_jina_markdown_cleanup():
     out = clean_jina_markdown(md)
     assert "http://" not in out and "https://" not in out
     assert "---" not in out
+
+
+def test_normalize_pro_three_sources():
+    """The gateway normalizer handles Serper, Tencent, and Bing-Pro shapes
+    (reference bing_search.py:913-1052)."""
+    import json as _json
+
+    from deepsearch_tts_tpu.web.search import normalize_pro
+
+    serper = {"organic": [{"title": "t", "link": "http://a.test/x",
+                           "snippet": "s"}],
+              "knowledgeGraph": {"title": "KG", "description": "d"}}
+    out = normalize_pro(serper)
+    assert out[0]["id"] == 0 and out[0]["title"] == "KG"
+    assert out[1]["url"] == "http://a.test/x"
+
+    tencent = {"code": "200", "tencentSearchResults": {"Response": {"Pages": [
+        _json.dumps({"title": "tt", "url": "http://t.test/a/b",
+                     "passage": "pp", "date": "2024-01-02 10:00"}),
+        "not json",
+    ]}}}
+    out = normalize_pro(tencent)
+    assert len(out) == 1
+    assert out[0]["snippet"] == "pp" and out[0]["date"] == "2024-01-02"
+    assert out[0]["site_name"] == "t.test"
+
+    pro = {"code": "200", "bingSearchProResults": {"webPages": {"value": [{
+        "name": "n", "url": "http://b.test/q", "displayUrl": "b.test/q",
+        "datePublished": "2023-05-06T00:00:00", "snippet": "sn",
+        "about": [{"aggregateRating": {"ratingValue": 4.5,
+                                       "reviewCount": 7, "bestRating": 5}}],
+    }]}}}
+    out = normalize_pro(pro)
+    assert out[0]["date"] == "2023-05-06" and out[0]["rating"]["count"] == 7
+
+    assert normalize_pro({"code": "403", "error": "denied"}) == []
+
+
+def test_bing_pro_backend_token_rotation_and_retry():
+    from deepsearch_tts_tpu.web.search import BingProBackend
+
+    seen_tokens = []
+    calls = {"n": 0}
+
+    def transport(url, payload, headers):
+        seen_tokens.append(headers["Authorization"].removeprefix("Bearer "))
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise OSError("gateway 500")
+        assert payload == {"query": "q", "api": "bing-search-pro"}
+        return {"code": "200", "bingSearchProResults": {"webPages": {"value": [
+            {"name": "hit", "url": "http://x.test", "snippet": "s"}]}}}
+
+    b = BingProBackend("tok1, tok2", transport=transport)
+    out = asyncio.run(b.search("q"))
+    assert out[0]["title"] == "hit"
+    assert calls["n"] == 2
+    assert set(seen_tokens) <= {"tok1", "tok2"}
