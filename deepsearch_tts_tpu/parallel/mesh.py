@@ -8,6 +8,7 @@ shards over. Axis convention, outermost → innermost:
 * ``fsdp``— parameter/optimizer sharding for training (ICI)
 * ``ep``  — expert parallel for MoE layers (ICI all-to-all)
 * ``tp``  — tensor (megatron-style) parallel (innermost ⇒ fastest ICI hops)
+* ``pp``  — pipeline parallel over the layer stack (GPipe microbatching)
 * ``sp``  — sequence/context parallel for long prefill (aliases tp by default)
 
 Collectives ride ICI when an axis maps to intra-slice devices; keep ``dp``
@@ -22,7 +23,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh
 
-AXES = ("dp", "fsdp", "ep", "tp")
+AXES = ("dp", "pp", "fsdp", "ep", "tp")
 
 
 def make_mesh(
@@ -30,6 +31,7 @@ def make_mesh(
     fsdp: int = 1,
     ep: int = 1,
     tp: int = 1,
+    pp: int = 1,
     devices: Sequence[jax.Device] | None = None,
 ) -> Mesh:
     """Build a named mesh with the standard axis order.
@@ -38,7 +40,7 @@ def make_mesh(
     :func:`best_mesh_shape` to pick sizes automatically.
     """
     devices = list(devices if devices is not None else jax.devices())
-    shape = (dp, fsdp, ep, tp)
+    shape = (dp, pp, fsdp, ep, tp)
     want = math.prod(shape)
     if want != len(devices):
         raise ValueError(
@@ -54,4 +56,4 @@ def best_mesh_shape(n_devices: int, prefer_tp: int | None = None) -> dict[str, i
     tp = prefer_tp or n_devices
     while tp > 1 and n_devices % tp:
         tp -= 1
-    return {"dp": n_devices // tp, "fsdp": 1, "ep": 1, "tp": tp}
+    return {"dp": n_devices // tp, "pp": 1, "fsdp": 1, "ep": 1, "tp": tp}

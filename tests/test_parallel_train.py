@@ -18,9 +18,9 @@ from deepsearch_tts_tpu.train.trainer import init_train_state, make_train_step
 
 
 def test_best_mesh_shape():
-    assert best_mesh_shape(8) == {"dp": 1, "fsdp": 1, "ep": 1, "tp": 8}
-    assert best_mesh_shape(8, prefer_tp=4) == {"dp": 2, "fsdp": 1, "ep": 1, "tp": 4}
-    assert best_mesh_shape(6, prefer_tp=4) == {"dp": 2, "fsdp": 1, "ep": 1, "tp": 3}
+    assert best_mesh_shape(8) == {"dp": 1, "pp": 1, "fsdp": 1, "ep": 1, "tp": 8}
+    assert best_mesh_shape(8, prefer_tp=4) == {"dp": 2, "pp": 1, "fsdp": 1, "ep": 1, "tp": 4}
+    assert best_mesh_shape(6, prefer_tp=4) == {"dp": 2, "pp": 1, "fsdp": 1, "ep": 1, "tp": 3}
 
 
 def test_mesh_device_count_mismatch():
@@ -109,3 +109,50 @@ def test_device_trace_smoke(tmp_path):
     found = any("trace" in f or f.endswith(".pb") or f.endswith(".json.gz")
                 for _, _, files in os.walk(tmp_path) for f in files)
     assert found
+
+
+def test_pipeline_parallel_matches_plain_forward(mesh8):
+    """GPipe pipeline over a pp axis (layers sharded, ppermute hand-off):
+    logits, loss, and grads must match the plain single-program forward."""
+    from dataclasses import replace
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from deepsearch_tts_tpu.models.qwen3 import QWEN3_CONFIGS, forward, init_params
+    from deepsearch_tts_tpu.parallel.mesh import make_mesh
+    from deepsearch_tts_tpu.parallel.pipeline import make_pp_forward
+    from deepsearch_tts_tpu.train.trainer import cross_entropy_loss
+
+    cfg = replace(QWEN3_CONFIGS["qwen3-test"], n_layers=4)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    mesh = make_mesh(pp=4, devices=jax.devices()[:4])
+    pp_forward = make_pp_forward(cfg, mesh=mesh, n_microbatches=2)
+
+    B, T = 4, 16
+    tokens = jnp.asarray(
+        np.random.default_rng(0).integers(0, cfg.vocab_size, (B, T)), jnp.int32)
+    positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None], (B, T))
+
+    ref_logits, _ = forward(params, cfg, tokens, positions)
+    pp_logits, _ = pp_forward(params, cfg, tokens, positions)
+    assert np.allclose(np.asarray(ref_logits, np.float32),
+                       np.asarray(pp_logits, np.float32), atol=2e-2)
+
+    mask = jnp.ones((B, T), jnp.float32)
+
+    def loss_with(fwd):
+        def f(p):
+            logits, _ = fwd(p, cfg, tokens[:, :-1], positions[:, :-1])
+            return cross_entropy_loss(logits, tokens[:, 1:], mask[:, 1:])
+        return f
+
+    l_ref, g_ref = jax.value_and_grad(loss_with(forward))(params)
+    l_pp, g_pp = jax.value_and_grad(loss_with(pp_forward))(params)
+    assert abs(float(l_ref) - float(l_pp)) < 1e-3
+    ref_norm = float(jnp.sqrt(sum(jnp.sum(jnp.square(x.astype(jnp.float32)))
+                                  for x in jax.tree.leaves(g_ref))))
+    pp_norm = float(jnp.sqrt(sum(jnp.sum(jnp.square(x.astype(jnp.float32)))
+                                 for x in jax.tree.leaves(g_pp))))
+    assert abs(ref_norm - pp_norm) / max(ref_norm, 1e-6) < 0.05
