@@ -80,6 +80,7 @@ def main():
     QUANT = os.environ.get("BENCH_QUANT") or None        # int8
     PACK = {"1": True, "0": False}.get(os.environ.get("BENCH_PACK", ""))  # None=auto
     BUCKETS = os.environ.get("BENCH_BUCKETS", "1") == "1"  # ctx-sliced decode
+    FUSED = os.environ.get("BENCH_FUSED", "0") == "1"  # Pallas layer kernels
 
     from deepsearch_tts_tpu.engine.weights import fast_random_params
 
@@ -90,7 +91,7 @@ def main():
         max_slots=B, page_size=PS, n_pages=B * (512 // PS) + 1, max_seq_len=512,
         decode_chunk_len=CHUNK, seed=0, enable_prefix_cache=False,
         attn_impl=ATTN, cache_mode=CACHE_MODE, quantize=QUANT,
-        pack_weights=PACK, context_buckets=BUCKETS,
+        pack_weights=PACK, context_buckets=BUCKETS, layer_fusion=FUSED,
     )
     init_s = time.monotonic() - t_init
 
@@ -169,6 +170,7 @@ def main():
             "attn_impl": engine.attn_impl,
             "cache_mode": engine.cache_mode,
             "quantize": engine.quantize,
+            "layer_fusion": engine.layer_fusion,
             "prefill_tok_s": round(st["prefill_tokens"] /
                                    max(st["prefill_time_s"], 1e-9), 1),
             "spans": st.get("spans", {}),

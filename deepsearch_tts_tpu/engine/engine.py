@@ -126,6 +126,7 @@ class Engine:
         quantize: str | None = None,  # "int8" quantizes matmul weights
         kv_quantize: str | None = None,  # "int8" KV pages + per-row scales
         pack_weights: bool | None = None,  # fuse QKV / gate+up (single-chip)
+        layer_fusion: bool = False,  # Pallas fused decode-layer kernels
         context_buckets: bool = True,  # slice decode page tables to pow2 need
         pipeline_decode: bool = True,  # dispatch chunk N+1 before syncing N
         ring_prefill_len: int | None = None,  # fresh prefills >= this length
@@ -158,6 +159,19 @@ class Engine:
             attn_impl = "xla"
         self.attn_impl = attn_impl
 
+        self.layer_fusion = bool(layer_fusion)
+        if self.layer_fusion:
+            # fused decode kernels read the packed wqkv / w_gateup layout and
+            # bf16 weights; attention stays on the engine-selected path
+            import inspect
+
+            if "fused_decode" not in inspect.signature(fam.forward).parameters:
+                raise ValueError(
+                    f"model family {model_name!r} has no fused decode path")
+            if quantize is not None or mesh is not None:
+                raise ValueError(
+                    "layer_fusion requires bf16 single-chip serving")
+            pack_weights = True
         if params is None:
             params = fam.init_params(self.cfg, jax.random.PRNGKey(seed))
         self.packed = False
@@ -367,6 +381,8 @@ class Engine:
                 )
                 pos = jnp.where(active, lens, -1)[:, None]
                 fwd_kw = {"slot_decode": True} if slot_mode else {}
+                if self.layer_fusion:
+                    fwd_kw["fused_decode"] = True
                 if kv_q:
                     fwd_kw.update(k_scales=aux["ks"], v_scales=aux["vs"])
                 logits, cache = fwd(

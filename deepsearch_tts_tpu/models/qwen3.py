@@ -176,6 +176,7 @@ def forward(
     ring_axis: str = "tp",
     k_scales: jax.Array | None = None,  # int8 KV: [L, N, ps, K] f32 scales
     v_scales: jax.Array | None = None,
+    fused_decode: bool = False,  # T=1 packed-weight Pallas layer kernels
 ):
     """Run the decoder.
 
@@ -260,6 +261,30 @@ def forward(
 
             B, T, E = x.shape
             H, K, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+            if (fused_decode and T == 1 and not fresh_prefill
+                    and "wqkv" in lp and "w_gateup" in lp
+                    and not isinstance(lp["wqkv"], dict)):
+                # decode hot path: three Pallas kernels per layer
+                # (ops/fused_layer.py) — norms/rope/residuals never leave
+                # VMEM, weights stream in blocks. Attention stays on the
+                # engine-selected paged path.
+                from ..ops.fused_layer import fused_out_mlp, fused_qkv
+
+                qf, kf2, vf2 = fused_qkv(
+                    x[:, 0], lp["ln1"], lp["wqkv"], lp["q_norm"],
+                    lp["k_norm"], cos[:, 0], sin[:, 0],
+                    n_heads=H, n_kv=K, head_dim=D, eps=cfg.rms_eps)
+                q = qf.reshape(B, 1, H, D).astype(x.dtype)
+                k = kf2.reshape(B, 1, K, D).astype(x.dtype)
+                v = vf2.reshape(B, 1, K, D).astype(x.dtype)
+                o, kpf, vpf, ksf, vsf = attend(q, k, v)
+                x = fused_out_mlp(
+                    o.reshape(B, H * D).astype(x.dtype), x[:, 0], lp["wo"],
+                    lp["ln2"], lp["w_gateup"], lp["w_gateup"], lp["w_down"],
+                    eps=cfg.rms_eps, packed_gateup=True)[:, None, :]
+                if kv_int8:
+                    return (x, kpf, vpf, ksf, vsf, layer + 1), None
+                return (x, kpf, vpf, layer + 1), None
             h = rms_norm(x, lp["ln1"], cfg.rms_eps)
             if "wqkv" in lp:  # packed single-chip layout (engine.pack_weights)
                 qkv = maybe_int8_dot(h, lp["wqkv"])

@@ -1,0 +1,307 @@
+"""Fused decode-layer Pallas kernels (dense family hot path).
+
+Decode at serving batch sizes is HBM-bound, but the measured step anatomy
+(CLAUDE.md) shows ~120µs/layer of *small-op* overhead — norms, rope,
+reshapes, residual adds — each a separate XLA op with fixed launch cost and
+an HBM round trip for the [B, E] activations. These kernels collapse a
+layer's op chain into a few ``pallas_call``s whose weight blocks stream
+HBM→VMEM (double-buffered by the Pallas pipeline) while every intermediate
+activation stays in VMEM:
+
+* :func:`fused_mlp` — rmsnorm(x) → gate/up matmul → silu·mul → down matmul
+  → +x, blocked over the intermediate dim F.
+* :func:`fused_qkv` — rmsnorm(x) → fused QKV matmul → per-head q/k rmsnorm
+  → rope, blocked over the QKV output columns.
+* :func:`fused_out_mlp` — attn_out @ wo → +x → fused_mlp, i.e. the whole
+  back half of a decoder layer in one kernel.
+
+The reference has no kernels at all (its compute is rented over HTTP,
+reference: scripts/deep_search.py:287-335); these exist to hit the
+BASELINE.md roofline target on TPU. All kernels have interpret-mode tests
+vs the XLA path (tests/test_fused_layer.py).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _pick_block(total: int, target: int = 512, align: int = 128) -> int:
+    """Largest divisor of ``total`` that is ≤ target and a multiple of
+    ``align`` (falls back to ``total`` for small/odd dims)."""
+    best = None
+    b = align
+    while b <= min(total, target):
+        if total % b == 0:
+            best = b
+        b += align
+    return best or total
+
+
+def _rms_norm_f32(x, w, eps):
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    return xf * jax.lax.rsqrt(var + eps) * w.astype(jnp.float32)
+
+
+def _mlp_kernel(x_ref, ln_ref, wg_ref, wu_ref, wd_ref, o_ref, xn_ref, acc_ref,
+                *, eps: float, n_blocks: int):
+    j = pl.program_id(0)
+
+    @pl.when(j == 0)
+    def _init():
+        xn_ref[:] = _rms_norm_f32(x_ref[:], ln_ref[0], eps).astype(xn_ref.dtype)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    xn = xn_ref[:]
+    g = jnp.dot(xn, wg_ref[:], preferred_element_type=jnp.float32)
+    u = jnp.dot(xn, wu_ref[:], preferred_element_type=jnp.float32)
+    h = (jax.nn.silu(g) * u).astype(xn.dtype)
+    acc_ref[:] += jnp.dot(h, wd_ref[:], preferred_element_type=jnp.float32)
+
+    @pl.when(j == n_blocks - 1)
+    def _fin():
+        o_ref[:] = (x_ref[:].astype(jnp.float32) + acc_ref[:]).astype(o_ref.dtype)
+
+
+def fused_mlp(x: jax.Array, ln_w: jax.Array, w_gate: jax.Array,
+              w_up: jax.Array, w_down: jax.Array, *, eps: float = 1e-6,
+              block_f: int | None = None, interpret: bool | None = None
+              ) -> jax.Array:
+    """``x + swiglu(rmsnorm(x, ln_w)) @ w_down`` in one kernel.
+
+    x: [B, E]; w_gate/w_up: [E, F]; w_down: [F, E]. Weight blocks of
+    ``block_f`` columns stream through VMEM; activations never leave VMEM.
+    """
+    if interpret is None:
+        from ..utils import is_tpu_backend
+
+        interpret = not is_tpu_backend()
+    B, E = x.shape
+    F = w_gate.shape[1]
+    fb = block_f or _pick_block(F)
+    n_blocks = F // fb
+    return pl.pallas_call(
+        functools.partial(_mlp_kernel, eps=eps, n_blocks=n_blocks),
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((B, E), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, E), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((E, fb), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((E, fb), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((fb, E), lambda j: (j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((B, E), lambda j: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, E), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((B, E), x.dtype),
+            pltpu.VMEM((B, E), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x, ln_w.reshape(1, E), w_gate, w_up, w_down)
+
+
+def fused_qkv(x: jax.Array, ln_w: jax.Array, wqkv: jax.Array,
+              q_norm: jax.Array, k_norm: jax.Array,
+              cos: jax.Array, sin: jax.Array,
+              *, n_heads: int, n_kv: int, head_dim: int, eps: float = 1e-6,
+              interpret: bool | None = None
+              ) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """rmsnorm(x) @ [wq|wk|wv] with per-head q/k rmsnorm + rope fused.
+
+    x: [B, E]; wqkv: [E, (H+2K)*D]; cos/sin: [B, D/2].
+    Returns (q [B, H*D], k [B, K*D], v [B, K*D]).
+    """
+    if interpret is None:
+        from ..utils import is_tpu_backend
+
+        interpret = not is_tpu_backend()
+    B, E = x.shape
+    D = head_dim
+    HD, KD = n_heads * D, n_kv * D
+    C = HD + 2 * KD
+    assert wqkv.shape == (E, C), (wqkv.shape, (E, C))
+    # one grid step per section multiple: block must divide each section and
+    # be a multiple of D. Use gcd-style pick: largest multiple of D dividing
+    # all of HD, KD and ≤ 512.
+    bc = D
+    for cand in range(D, min(513, KD + 1), D):
+        if HD % cand == 0 and KD % cand == 0 and cand % D == 0:
+            bc = cand
+    n_blocks = C // bc
+
+    # bc divides both HD and KD, so every block lies entirely in one of the
+    # q/k/v sections; the kernel resolves which via traced where() on
+    # program_id (Mosaic can't branch statically per grid step).
+    out = pl.pallas_call(
+        functools.partial(_qkv_traced_kernel, eps=eps, n_heads=n_heads,
+                          n_kv=n_kv, head_dim=D, block_c=bc),
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((B, E), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, E), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((E, bc), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, D // 2), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, D // 2), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((B, bc), lambda j: (0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, C), x.dtype),
+        scratch_shapes=[pltpu.VMEM((B, E), x.dtype)],
+        interpret=interpret,
+    )(x, ln_w.reshape(1, E), wqkv, q_norm.reshape(1, D), k_norm.reshape(1, D),
+      cos, sin)
+    return out[:, :HD], out[:, HD:HD + KD], out[:, HD + KD:]
+
+
+def _qkv_traced_kernel(x_ref, ln_ref, w_ref, qn_ref, kn_ref, cos_ref, sin_ref,
+                       o_ref, xn_ref,
+                       *, eps: float, n_heads: int, n_kv: int, head_dim: int,
+                       block_c: int):
+    """Fused QKV block kernel with the q/k/v section resolved by traced
+    ``where`` (works for any grid step; the extra VPU work is negligible)."""
+    j = pl.program_id(0)
+    D = head_dim
+
+    @pl.when(j == 0)
+    def _init():
+        xn_ref[:] = _rms_norm_f32(x_ref[:], ln_ref[0], eps).astype(xn_ref.dtype)
+
+    y = jnp.dot(xn_ref[:], w_ref[:], preferred_element_type=jnp.float32)
+    B = y.shape[0]
+    heads = block_c // D
+    yh = y.reshape(B, heads, D)
+
+    HD, KD = n_heads * D, n_kv * D
+    c0 = j * block_c
+    is_q = c0 < HD
+    is_k = (c0 >= HD) & (c0 < HD + KD)
+    needs_rope = is_q | is_k
+
+    w_norm = jnp.where(is_q, qn_ref[0], kn_ref[0]).astype(jnp.float32)
+    var = jnp.mean(yh * yh, axis=-1, keepdims=True)
+    normed = yh * jax.lax.rsqrt(var + eps) * w_norm
+    half = D // 2
+    y1, y2 = normed[..., :half], normed[..., half:]
+    cos = cos_ref[:].astype(jnp.float32)[:, None, :]
+    sin = sin_ref[:].astype(jnp.float32)[:, None, :]
+    roped = jnp.concatenate([y1 * cos - y2 * sin, y2 * cos + y1 * sin],
+                            axis=-1)
+    out = jnp.where(needs_rope, roped, yh)
+    o_ref[:] = out.reshape(B, block_c).astype(o_ref.dtype)
+
+
+def _out_mlp_kernel(a_ref, x_ref, wo_ref, ln_ref, wg_ref, wu_ref, wd_ref,
+                    o_ref, x2_ref, xn_ref, acc_ref,
+                    *, eps: float, n_wo_blocks: int, n_f_blocks: int):
+    """Back half of a decoder layer: x2 = x + a@wo, then the fused MLP.
+
+    Grid is (n_wo_blocks + 1 + n_f_blocks): first the wo column blocks
+    accumulate x2; one barrier step computes the rmsnorm (needs all of x2);
+    then the MLP F blocks run. Index maps keep unused operands pinned to
+    block 0 during the other phase (cheap: their blocks are already
+    resident)."""
+    j = pl.program_id(0)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    # --- phase 1: wo column block j → x2 columns ---
+    @pl.when(j < n_wo_blocks)
+    def _wo():
+        y = jnp.dot(a_ref[:], wo_ref[:], preferred_element_type=jnp.float32)
+        E = x2_ref.shape[1]
+        eb = E // n_wo_blocks
+        x2_ref[:, pl.ds(j * eb, eb)] = (
+            x_ref[:, pl.ds(j * eb, eb)].astype(jnp.float32) + y
+        ).astype(x2_ref.dtype)
+
+    # --- phase boundary: full-row rmsnorm of x2 ---
+    @pl.when(j == n_wo_blocks)
+    def _norm():
+        xn_ref[:] = _rms_norm_f32(x2_ref[:], ln_ref[0], eps).astype(xn_ref.dtype)
+
+    # --- phase 2: MLP F block ---
+    @pl.when(j > n_wo_blocks)
+    def _mlp():
+        xn = xn_ref[:]
+        g = jnp.dot(xn, wg_ref[:], preferred_element_type=jnp.float32)
+        u = jnp.dot(xn, wu_ref[:], preferred_element_type=jnp.float32)
+        h = (jax.nn.silu(g) * u).astype(xn.dtype)
+        acc_ref[:] += jnp.dot(h, wd_ref[:], preferred_element_type=jnp.float32)
+
+    @pl.when(j == n_wo_blocks + n_f_blocks)
+    def _fin():
+        o_ref[:] = (x2_ref[:].astype(jnp.float32) + acc_ref[:]).astype(o_ref.dtype)
+
+
+def fused_out_mlp(attn_out: jax.Array, x: jax.Array, wo: jax.Array,
+                  ln_w: jax.Array, w_gate: jax.Array, w_up: jax.Array,
+                  w_down: jax.Array, *, eps: float = 1e-6,
+                  packed_gateup: bool = False,
+                  interpret: bool | None = None) -> jax.Array:
+    """x + attn_out@wo, then + swiglu(rmsnorm(·)) @ w_down — one kernel.
+
+    attn_out: [B, H*D]; x: [B, E]; wo: [H*D, E]; w_gate/w_up: [E, F];
+    w_down: [F, E]. With ``packed_gateup`` pass the engine's packed
+    ``w_gateup`` [E, 2F] as BOTH w_gate and w_up — the up-projection's
+    index map reads the upper F columns of the same array, so the packed
+    layout streams without materializing split copies.
+    """
+    if interpret is None:
+        from ..utils import is_tpu_backend
+
+        interpret = not is_tpu_backend()
+    B, E = x.shape
+    HD = attn_out.shape[1]
+    F = w_gate.shape[1] // (2 if packed_gateup else 1)
+    eb = _pick_block(E)
+    fb = _pick_block(F)
+    n_wo = E // eb
+    n_f = F // fb
+    grid = n_wo + 1 + n_f
+    up_off = n_f if packed_gateup else 0
+
+    def wo_map(j):
+        return (0, jnp.minimum(j, n_wo - 1))
+
+    def fblk(j):
+        jj = jnp.clip(j - n_wo - 1, 0, n_f - 1)
+        return jj
+
+    return pl.pallas_call(
+        functools.partial(_out_mlp_kernel, eps=eps, n_wo_blocks=n_wo,
+                          n_f_blocks=n_f),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((B, HD), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, E), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((HD, eb), wo_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, E), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((E, fb), lambda j: (0, fblk(j)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((E, fb), lambda j: (0, fblk(j) + up_off),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((fb, E), lambda j: (fblk(j), 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((B, E), lambda j: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, E), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((B, E), x.dtype),
+            pltpu.VMEM((B, E), x.dtype),
+            pltpu.VMEM((B, E), jnp.float32),
+        ],
+        interpret=interpret,
+    )(attn_out, x, wo, ln_w.reshape(1, E), w_gate, w_up, w_down)

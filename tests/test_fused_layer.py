@@ -1,0 +1,144 @@
+"""Interpret-mode parity tests for the fused decode-layer Pallas kernels
+(ops/fused_layer.py) against the model's XLA op chain."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deepsearch_tts_tpu.models.common import apply_rope, rms_norm, rope_angles
+from deepsearch_tts_tpu.ops.fused_layer import (
+    fused_mlp,
+    fused_out_mlp,
+    fused_qkv,
+)
+
+B, E, F, H, K, D = 8, 256, 384, 4, 2, 64
+EPS = 1e-6
+
+
+def _rand(key, shape):
+    return (jax.random.normal(key, shape, jnp.float32) * 0.05).astype(jnp.bfloat16)
+
+
+def test_fused_mlp_matches_xla():
+    ks = jax.random.split(jax.random.PRNGKey(0), 5)
+    x = _rand(ks[0], (B, E))
+    ln = jnp.ones((E,), jnp.bfloat16) * 1.1
+    wg, wu = _rand(ks[1], (E, F)), _rand(ks[2], (E, F))
+    wd = _rand(ks[3], (F, E))
+
+    out = fused_mlp(x, ln, wg, wu, wd, eps=EPS, block_f=128, interpret=True)
+
+    h = rms_norm(x, ln, EPS)
+    g = jnp.dot(h, wg, preferred_element_type=jnp.float32)
+    u = jnp.dot(h, wu, preferred_element_type=jnp.float32)
+    mlp = jnp.dot((jax.nn.silu(g) * u).astype(jnp.bfloat16), wd,
+                  preferred_element_type=jnp.float32)
+    ref = (x.astype(jnp.float32) + mlp).astype(jnp.bfloat16)
+
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=0.05, atol=0.02)
+
+
+def test_fused_out_mlp_packed_gateup():
+    ks = jax.random.split(jax.random.PRNGKey(3), 6)
+    a = _rand(ks[0], (B, H * D))
+    x = _rand(ks[1], (B, E))
+    wo = _rand(ks[2], (H * D, E))
+    ln = jnp.ones((E,), jnp.bfloat16)
+    wg, wu = _rand(ks[3], (E, F)), _rand(ks[4], (E, F))
+    wd = _rand(ks[5], (F, E))
+    gateup = jnp.concatenate([wg, wu], axis=1)
+
+    ref = fused_out_mlp(a, x, wo, ln, wg, wu, wd, eps=EPS, interpret=True)
+    out = fused_out_mlp(a, x, wo, ln, gateup, gateup, wd, eps=EPS,
+                        packed_gateup=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=0.01, atol=0.005)
+
+
+def test_fused_qkv_matches_xla():
+    ks = jax.random.split(jax.random.PRNGKey(1), 4)
+    x = _rand(ks[0], (B, E))
+    ln = jnp.ones((E,), jnp.bfloat16)
+    wq, wk, wv = (_rand(ks[1], (E, H * D)), _rand(ks[2], (E, K * D)),
+                  _rand(ks[3], (E, K * D)))
+    wqkv = jnp.concatenate([wq, wk, wv], axis=1)
+    qn = jnp.ones((D,), jnp.bfloat16) * 0.9
+    kn = jnp.ones((D,), jnp.bfloat16) * 1.2
+    positions = jnp.arange(B, dtype=jnp.int32)[:, None] * 3  # [B, 1]
+    cos, sin = rope_angles(positions, D, 10000.0)           # [B, 1, D/2]
+
+    q, k, v = fused_qkv(x, ln, wqkv, qn, kn, cos[:, 0], sin[:, 0],
+                        n_heads=H, n_kv=K, head_dim=D, eps=EPS,
+                        interpret=True)
+
+    h = rms_norm(x[:, None, :], ln, EPS)                     # [B, 1, E]
+    q_ref = jnp.dot(h, wq, preferred_element_type=jnp.bfloat16).reshape(B, 1, H, D)
+    k_ref = jnp.dot(h, wk, preferred_element_type=jnp.bfloat16).reshape(B, 1, K, D)
+    v_ref = jnp.dot(h, wv, preferred_element_type=jnp.bfloat16).reshape(B, 1, K, D)
+    q_ref = apply_rope(rms_norm(q_ref, qn, EPS), cos, sin)
+    k_ref = apply_rope(rms_norm(k_ref, kn, EPS), cos, sin)
+
+    np.testing.assert_allclose(np.asarray(q, np.float32),
+                               np.asarray(q_ref.reshape(B, H * D), np.float32),
+                               rtol=0.05, atol=0.02)
+    np.testing.assert_allclose(np.asarray(k, np.float32),
+                               np.asarray(k_ref.reshape(B, K * D), np.float32),
+                               rtol=0.05, atol=0.02)
+    np.testing.assert_allclose(np.asarray(v, np.float32),
+                               np.asarray(v_ref.reshape(B, K * D), np.float32),
+                               rtol=0.05, atol=0.02)
+
+
+def test_fused_out_mlp_matches_xla():
+    ks = jax.random.split(jax.random.PRNGKey(2), 6)
+    a = _rand(ks[0], (B, H * D))
+    x = _rand(ks[1], (B, E))
+    wo = _rand(ks[2], (H * D, E))
+    ln = jnp.ones((E,), jnp.bfloat16)
+    wg, wu = _rand(ks[3], (E, F)), _rand(ks[4], (E, F))
+    wd = _rand(ks[5], (F, E))
+
+    out = fused_out_mlp(a, x, wo, ln, wg, wu, wd, eps=EPS, interpret=True)
+
+    o = jnp.dot(a, wo, preferred_element_type=jnp.float32)
+    x2 = (x.astype(jnp.float32) + o).astype(jnp.bfloat16)
+    h = rms_norm(x2, ln, EPS)
+    g = jnp.dot(h, wg, preferred_element_type=jnp.float32)
+    u = jnp.dot(h, wu, preferred_element_type=jnp.float32)
+    mlp = jnp.dot((jax.nn.silu(g) * u).astype(jnp.bfloat16), wd,
+                  preferred_element_type=jnp.float32)
+    ref = (x2.astype(jnp.float32) + mlp).astype(jnp.bfloat16)
+
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=0.05, atol=0.02)
+
+
+def test_engine_layer_fusion_greedy_parity():
+    """Engine with layer_fusion=True produces the same greedy tokens as the
+    plain XLA decode path (interpret-mode kernels on CPU)."""
+    from deepsearch_tts_tpu.engine.engine import Engine, GenerationRequest
+    from deepsearch_tts_tpu.engine.tokenizer import ByteTokenizer
+
+    def req(ids, n):
+        return GenerationRequest(prompt_ids=ids, max_tokens=n,
+                                 temperature=0.0, top_k=0, top_p=1.0,
+                                 min_p=0.0, repetition_penalty=1.0)
+
+    tk = ByteTokenizer()
+    ref = Engine("qwen3-test", tk, max_slots=2, page_size=4, n_pages=64,
+                 max_seq_len=64, decode_chunk_len=4, seed=0)
+    r_ref = ref.generate(req(list(range(40, 52)), 8))
+    ref.shutdown()
+
+    eng = Engine("qwen3-test", tk, max_slots=2, page_size=4, n_pages=64,
+                 max_seq_len=64, decode_chunk_len=4, seed=0,
+                 layer_fusion=True)
+    assert eng.packed, "layer_fusion must force packed weights"
+    r = eng.generate(req(list(range(40, 52)), 8))
+    eng.shutdown()
+    assert r.token_ids == r_ref.token_ids, (r.token_ids, r_ref.token_ids)
