@@ -73,6 +73,7 @@ def main():
     B = int(os.environ.get("BENCH_BATCH", 64 if on_tpu else 2))
     PROMPT = int(os.environ.get("BENCH_PROMPT", 128))
     DECODE = int(os.environ.get("BENCH_DECODE", 128))
+    SEQLEN = int(os.environ.get("BENCH_SEQLEN", 512))  # per-seq KV budget
     CHUNK = int(os.environ.get("BENCH_CHUNK", 32 if on_tpu else 4))
     ATTN = os.environ.get("BENCH_ATTN") or None
     PS = int(os.environ.get("BENCH_PS", 64))
@@ -88,7 +89,8 @@ def main():
     params = fast_random_params(cfg, seed=0)   # host init: one bulk transfer
     engine = Engine(
         "bench-qwen3", ByteTokenizer(), params=params,
-        max_slots=B, page_size=PS, n_pages=B * (512 // PS) + 1, max_seq_len=512,
+        max_slots=B, page_size=PS, n_pages=B * (SEQLEN // PS) + 1,
+        max_seq_len=SEQLEN,
         decode_chunk_len=CHUNK, seed=0, enable_prefix_cache=False,
         attn_impl=ATTN, cache_mode=CACHE_MODE, quantize=QUANT,
         pack_weights=PACK, context_buckets=BUCKETS, layer_fusion=FUSED,

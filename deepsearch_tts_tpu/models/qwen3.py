@@ -220,6 +220,11 @@ def forward(
         if slot_decode:
             page_table = jnp.arange(tokens.shape[0], dtype=jnp.int32)[:, None]
 
+        use_fused = (fused_decode and tokens.shape[1] == 1
+                     and not fresh_prefill and not kv_int8
+                     and "wqkv" in lp_stack and "w_gateup" in lp_stack
+                     and not isinstance(lp_stack["wqkv"], dict))
+
         def body(carry, lp):
             if kv_int8:
                 x, kpf, vpf, ksf, vsf, layer = carry
@@ -261,29 +266,31 @@ def forward(
 
             B, T, E = x.shape
             H, K, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
-            if (fused_decode and T == 1 and not fresh_prefill
-                    and "wqkv" in lp and "w_gateup" in lp
-                    and not isinstance(lp["wqkv"], dict)):
-                # decode hot path: three Pallas kernels per layer
+            if use_fused:
+                # decode hot path: two Pallas kernels per layer
                 # (ops/fused_layer.py) — norms/rope/residuals never leave
-                # VMEM, weights stream in blocks. Attention stays on the
-                # engine-selected paged path.
-                from ..ops.fused_layer import fused_out_mlp, fused_qkv
+                # VMEM, and the *stacked* weight arrays are indexed by the
+                # traced layer id inside the kernels' BlockSpec maps, so the
+                # scan never materializes per-layer weight slices. Attention
+                # stays on the engine-selected paged path.
+                from ..ops.fused_layer import (
+                    fused_out_mlp_stacked,
+                    fused_qkv_stacked,
+                )
 
-                qf, kf2, vf2 = fused_qkv(
-                    x[:, 0], lp["ln1"], lp["wqkv"], lp["q_norm"],
-                    lp["k_norm"], cos[:, 0], sin[:, 0],
+                qf, kf2, vf2 = fused_qkv_stacked(
+                    x[:, 0], lp_stack["ln1"], lp_stack["wqkv"],
+                    lp_stack["q_norm"], lp_stack["k_norm"],
+                    cos[:, 0], sin[:, 0], layer,
                     n_heads=H, n_kv=K, head_dim=D, eps=cfg.rms_eps)
                 q = qf.reshape(B, 1, H, D).astype(x.dtype)
                 k = kf2.reshape(B, 1, K, D).astype(x.dtype)
                 v = vf2.reshape(B, 1, K, D).astype(x.dtype)
                 o, kpf, vpf, ksf, vsf = attend(q, k, v)
-                x = fused_out_mlp(
-                    o.reshape(B, H * D).astype(x.dtype), x[:, 0], lp["wo"],
-                    lp["ln2"], lp["w_gateup"], lp["w_gateup"], lp["w_down"],
-                    eps=cfg.rms_eps, packed_gateup=True)[:, None, :]
-                if kv_int8:
-                    return (x, kpf, vpf, ksf, vsf, layer + 1), None
+                x = fused_out_mlp_stacked(
+                    o.reshape(B, H * D).astype(x.dtype), x[:, 0],
+                    lp_stack["wo"], lp_stack["ln2"], lp_stack["w_gateup"],
+                    lp_stack["w_down"], layer, eps=cfg.rms_eps)[:, None, :]
                 return (x, kpf, vpf, layer + 1), None
             h = rms_norm(x, lp["ln1"], cfg.rms_eps)
             if "wqkv" in lp:  # packed single-chip layout (engine.pack_weights)
@@ -317,15 +324,20 @@ def forward(
                 return (x, kpf, vpf, ksf, vsf, layer + 1), None
             return (x, kpf, vpf, layer + 1), None
 
+        # fused path: weights reach the kernels as closed-over full stacks
+        # (indexed by layer id), so the scan carries no xs at all
+        xs = None if use_fused else lp_stack
+        length = cfg.n_layers if use_fused else None
         if kv_int8:
             (x, kpf, vpf, ksf, vsf, _), _ = jax.lax.scan(
                 body, (x, kpf, vpf, ksf, vsf, jnp.zeros((), jnp.int32)),
-                lp_stack)
+                xs, length=length)
             k_scales = ksf.reshape(k_scales.shape)
             v_scales = vsf.reshape(v_scales.shape)
         else:
             (x, kpf, vpf, _), _ = jax.lax.scan(
-                body, (x, kpf, vpf, jnp.zeros((), jnp.int32)), lp_stack)
+                body, (x, kpf, vpf, jnp.zeros((), jnp.int32)), xs,
+                length=length)
         k_pages = kpf.reshape(k_pages.shape)
         v_pages = vpf.reshape(v_pages.shape)
     else:

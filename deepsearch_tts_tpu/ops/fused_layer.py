@@ -200,6 +200,212 @@ def _qkv_traced_kernel(x_ref, ln_ref, w_ref, qn_ref, kn_ref, cos_ref, sin_ref,
     o_ref[:] = out.reshape(B, block_c).astype(o_ref.dtype)
 
 
+def _qkv_stacked_kernel(l_ref, x_ref, ln_ref, w_ref, qn_ref, kn_ref,
+                        cos_ref, sin_ref, o_ref, xn_ref,
+                        *, eps: float, n_heads: int, n_kv: int,
+                        head_dim: int, block_c: int):
+    """Stacked-weight variant: weights arrive as (1, ...) blocks of the full
+    [L, ...] parameter stacks, selected by the scalar-prefetched layer index
+    in the BlockSpec index maps — the caller's ``lax.scan`` never slices a
+    weight, so no per-layer copies are materialized."""
+    del l_ref  # consumed by the index maps
+    j = pl.program_id(0)
+    D = head_dim
+
+    @pl.when(j == 0)
+    def _init():
+        xn_ref[:] = _rms_norm_f32(x_ref[:], ln_ref[0], eps).astype(xn_ref.dtype)
+
+    y = jnp.dot(xn_ref[:], w_ref[0], preferred_element_type=jnp.float32)
+    B = y.shape[0]
+    heads = block_c // D
+    yh = y.reshape(B, heads, D)
+
+    HD, KD = n_heads * D, n_kv * D
+    c0 = j * block_c
+    is_q = c0 < HD
+    needs_rope = c0 < HD + KD
+
+    w_norm = jnp.where(is_q, qn_ref[0], kn_ref[0]).astype(jnp.float32)
+    var = jnp.mean(yh * yh, axis=-1, keepdims=True)
+    normed = yh * jax.lax.rsqrt(var + eps) * w_norm
+    half = D // 2
+    y1, y2 = normed[..., :half], normed[..., half:]
+    cos = cos_ref[:].astype(jnp.float32)[:, None, :]
+    sin = sin_ref[:].astype(jnp.float32)[:, None, :]
+    roped = jnp.concatenate([y1 * cos - y2 * sin, y2 * cos + y1 * sin],
+                            axis=-1)
+    out = jnp.where(needs_rope, roped, yh)
+    o_ref[:] = out.reshape(B, block_c).astype(o_ref.dtype)
+
+
+def fused_qkv_stacked(x: jax.Array, ln_all: jax.Array, wqkv_all: jax.Array,
+                      qn_all: jax.Array, kn_all: jax.Array,
+                      cos: jax.Array, sin: jax.Array, layer: jax.Array,
+                      *, n_heads: int, n_kv: int, head_dim: int,
+                      eps: float = 1e-6, block_c: int | None = None,
+                      interpret: bool | None = None
+                      ) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """:func:`fused_qkv` over layer-stacked weights, for use inside the
+    model's ``lax.scan``: pass the FULL stacks ([L, E, C] etc.) plus the
+    traced ``layer`` index; BlockSpec index maps pick the layer's blocks
+    straight out of HBM (a sliced operand would force XLA to materialize a
+    per-layer weight copy every step — measured 12% slower end-to-end)."""
+    if interpret is None:
+        from ..utils import is_tpu_backend
+
+        interpret = not is_tpu_backend()
+    B, E = x.shape
+    D = head_dim
+    HD, KD = n_heads * D, n_kv * D
+    C = HD + 2 * KD
+    L = wqkv_all.shape[0]
+    assert wqkv_all.shape == (L, E, C), (wqkv_all.shape, (L, E, C))
+    bc = block_c or D
+    if block_c is None:
+        for cand in range(D, min(513, KD + 1), D):
+            if HD % cand == 0 and KD % cand == 0:
+                bc = cand
+    n_blocks = C // bc
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((B, E), lambda j, l: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, E), lambda j, l: (l[0], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, E, bc), lambda j, l: (l[0], 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), lambda j, l: (l[0], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), lambda j, l: (l[0], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, D // 2), lambda j, l: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, D // 2), lambda j, l: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((B, bc), lambda j, l: (0, j),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((B, E), x.dtype)],
+    )
+    out = pl.pallas_call(
+        functools.partial(_qkv_stacked_kernel, eps=eps, n_heads=n_heads,
+                          n_kv=n_kv, head_dim=D, block_c=bc),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, C), x.dtype),
+        interpret=interpret,
+    )(jnp.asarray(layer, jnp.int32).reshape(1), x, ln_all, wqkv_all,
+      qn_all, kn_all, cos, sin)
+    return out[:, :HD], out[:, HD:HD + KD], out[:, HD + KD:]
+
+
+def _out_mlp_stacked_kernel(l_ref, a_ref, x_ref, wo_ref, ln_ref, wg_ref,
+                            wu_ref, wd_ref, o_ref, x2_ref, xn_ref, acc_ref,
+                            *, eps: float, n_wo_blocks: int, n_f_blocks: int):
+    del l_ref
+    j = pl.program_id(0)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when(j < n_wo_blocks)
+    def _wo():
+        y = jnp.dot(a_ref[:], wo_ref[0], preferred_element_type=jnp.float32)
+        E = x2_ref.shape[1]
+        eb = E // n_wo_blocks
+        x2_ref[:, pl.ds(j * eb, eb)] = (
+            x_ref[:, pl.ds(j * eb, eb)].astype(jnp.float32) + y
+        ).astype(x2_ref.dtype)
+
+    @pl.when(j == n_wo_blocks)
+    def _norm():
+        xn_ref[:] = _rms_norm_f32(x2_ref[:], ln_ref[0], eps).astype(xn_ref.dtype)
+
+    @pl.when(j > n_wo_blocks)
+    def _mlp():
+        xn = xn_ref[:]
+        g = jnp.dot(xn, wg_ref[0], preferred_element_type=jnp.float32)
+        u = jnp.dot(xn, wu_ref[0], preferred_element_type=jnp.float32)
+        h = (jax.nn.silu(g) * u).astype(xn.dtype)
+        acc_ref[:] += jnp.dot(h, wd_ref[0], preferred_element_type=jnp.float32)
+
+    @pl.when(j == n_wo_blocks + n_f_blocks)
+    def _fin():
+        o_ref[:] = (x2_ref[:].astype(jnp.float32) + acc_ref[:]).astype(o_ref.dtype)
+
+
+def fused_out_mlp_stacked(attn_out: jax.Array, x: jax.Array,
+                          wo_all: jax.Array, ln_all: jax.Array,
+                          gateup_all: jax.Array, wd_all: jax.Array,
+                          layer: jax.Array, *, eps: float = 1e-6,
+                          block: int = 256,
+                          interpret: bool | None = None) -> jax.Array:
+    """:func:`fused_out_mlp` over layer-stacked packed weights.
+
+    wo_all: [L, H*D, E]; ln_all: [L, E]; gateup_all: [L, E, 2F] (the
+    engine's packed gate|up layout); wd_all: [L, F, E]. The traced ``layer``
+    index selects blocks via scalar prefetch — no per-layer weight slices.
+    """
+    if interpret is None:
+        from ..utils import is_tpu_backend
+
+        interpret = not is_tpu_backend()
+    B, E = x.shape
+    HD = attn_out.shape[1]
+    L, _, F2 = gateup_all.shape
+    F = F2 // 2
+    eb = _pick_block(E, target=block)
+    fb = _pick_block(F, target=block)
+    n_wo = E // eb
+    n_f = F // fb
+    grid = n_wo + 1 + n_f
+
+    def wo_map(j, l):
+        return (l[0], 0, jnp.minimum(j, n_wo - 1))
+
+    def fblk(j):
+        return jnp.clip(j - n_wo - 1, 0, n_f - 1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((B, HD), lambda j, l: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, E), lambda j, l: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, HD, eb), wo_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, E), lambda j, l: (l[0], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, E, fb), lambda j, l: (l[0], 0, fblk(j)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, E, fb), lambda j, l: (l[0], 0, fblk(j) + n_f),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, fb, E), lambda j, l: (l[0], fblk(j), 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((B, E), lambda j, l: (0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((B, E), x.dtype),
+            pltpu.VMEM((B, E), x.dtype),
+            pltpu.VMEM((B, E), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_out_mlp_stacked_kernel, eps=eps, n_wo_blocks=n_wo,
+                          n_f_blocks=n_f),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, E), x.dtype),
+        interpret=interpret,
+    )(jnp.asarray(layer, jnp.int32).reshape(1), attn_out, x, wo_all, ln_all,
+      gateup_all, gateup_all, wd_all)
+
+
 def _out_mlp_kernel(a_ref, x_ref, wo_ref, ln_ref, wg_ref, wu_ref, wd_ref,
                     o_ref, x2_ref, xn_ref, acc_ref,
                     *, eps: float, n_wo_blocks: int, n_f_blocks: int):

@@ -142,3 +142,49 @@ def test_engine_layer_fusion_greedy_parity():
     r = eng.generate(req(list(range(40, 52)), 8))
     eng.shutdown()
     assert r.token_ids == r_ref.token_ids, (r.token_ids, r_ref.token_ids)
+
+
+def test_stacked_kernels_match_plain():
+    """Stacked-weight kernels (scalar-prefetch layer select) must agree with
+    the 2D reference kernels for every layer index."""
+    from deepsearch_tts_tpu.ops.fused_layer import (
+        fused_out_mlp_stacked,
+        fused_qkv_stacked,
+    )
+
+    L = 3
+    ks = jax.random.split(jax.random.PRNGKey(4), 8)
+    x = _rand(ks[0], (B, E))
+    ln1 = _rand(ks[1], (L, E)) + 1.0
+    wqkv = _rand(ks[2], (L, E, (H + 2 * K) * D))
+    qn = _rand(ks[3], (L, D)) + 1.0
+    kn = _rand(ks[4], (L, D)) + 1.0
+    positions = jnp.arange(B, dtype=jnp.int32)[:, None]
+    cos, sin = rope_angles(positions, D, 10000.0)
+
+    a = _rand(ks[5], (B, H * D))
+    wo = _rand(ks[6], (L, H * D, E))
+    gateup = _rand(ks[7], (L, E, 2 * F))
+    wd = _rand(jax.random.PRNGKey(5), (L, F, E))
+    ln2 = jnp.ones((L, E), jnp.bfloat16)
+
+    for l in range(L):
+        q_s, k_s, v_s = fused_qkv_stacked(
+            x, ln1, wqkv, qn, kn, cos[:, 0], sin[:, 0], jnp.int32(l),
+            n_heads=H, n_kv=K, head_dim=D, eps=EPS, interpret=True)
+        q_r, k_r, v_r = fused_qkv(
+            x, ln1[l], wqkv[l], qn[l], kn[l], cos[:, 0], sin[:, 0],
+            n_heads=H, n_kv=K, head_dim=D, eps=EPS, interpret=True)
+        for s, r in ((q_s, q_r), (k_s, k_r), (v_s, v_r)):
+            np.testing.assert_allclose(np.asarray(s, np.float32),
+                                       np.asarray(r, np.float32),
+                                       rtol=0.02, atol=0.01)
+
+        out_s = fused_out_mlp_stacked(a, x, wo, ln2, gateup, wd,
+                                      jnp.int32(l), eps=EPS, interpret=True)
+        out_r = fused_out_mlp(a, x, wo[l], ln2[l], gateup[l], gateup[l],
+                              wd[l], eps=EPS, packed_gateup=True,
+                              interpret=True)
+        np.testing.assert_allclose(np.asarray(out_s, np.float32),
+                                   np.asarray(out_r, np.float32),
+                                   rtol=0.02, atol=0.01)
