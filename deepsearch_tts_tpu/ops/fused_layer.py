@@ -214,7 +214,7 @@ def _qkv_stacked_kernel(l_ref, x_ref, ln_ref, w_ref, qn_ref, kn_ref,
 
     @pl.when(j == 0)
     def _init():
-        xn_ref[:] = _rms_norm_f32(x_ref[:], ln_ref[0], eps).astype(xn_ref.dtype)
+        xn_ref[:] = _rms_norm_f32(x_ref[:], ln_ref[0, 0], eps).astype(xn_ref.dtype)
 
     y = jnp.dot(xn_ref[:], w_ref[0], preferred_element_type=jnp.float32)
     B = y.shape[0]
@@ -226,7 +226,7 @@ def _qkv_stacked_kernel(l_ref, x_ref, ln_ref, w_ref, qn_ref, kn_ref,
     is_q = c0 < HD
     needs_rope = c0 < HD + KD
 
-    w_norm = jnp.where(is_q, qn_ref[0], kn_ref[0]).astype(jnp.float32)
+    w_norm = jnp.where(is_q, qn_ref[0, 0], kn_ref[0, 0]).astype(jnp.float32)
     var = jnp.mean(yh * yh, axis=-1, keepdims=True)
     normed = yh * jax.lax.rsqrt(var + eps) * w_norm
     half = D // 2
@@ -274,13 +274,13 @@ def fused_qkv_stacked(x: jax.Array, ln_all: jax.Array, wqkv_all: jax.Array,
         in_specs=[
             pl.BlockSpec((B, E), lambda j, l: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, E), lambda j, l: (l[0], 0),
+            pl.BlockSpec((1, 1, E), lambda j, l: (l[0], 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, E, bc), lambda j, l: (l[0], 0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, D), lambda j, l: (l[0], 0),
+            pl.BlockSpec((1, 1, D), lambda j, l: (l[0], 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, D), lambda j, l: (l[0], 0),
+            pl.BlockSpec((1, 1, D), lambda j, l: (l[0], 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((B, D // 2), lambda j, l: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -297,8 +297,9 @@ def fused_qkv_stacked(x: jax.Array, ln_all: jax.Array, wqkv_all: jax.Array,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, C), x.dtype),
         interpret=interpret,
-    )(jnp.asarray(layer, jnp.int32).reshape(1), x, ln_all, wqkv_all,
-      qn_all, kn_all, cos, sin)
+    )(jnp.asarray(layer, jnp.int32).reshape(1), x,
+      ln_all.reshape(L, 1, E), wqkv_all,
+      qn_all.reshape(L, 1, D), kn_all.reshape(L, 1, D), cos, sin)
     return out[:, :HD], out[:, HD:HD + KD], out[:, HD + KD:]
 
 
@@ -323,7 +324,7 @@ def _out_mlp_stacked_kernel(l_ref, a_ref, x_ref, wo_ref, ln_ref, wg_ref,
 
     @pl.when(j == n_wo_blocks)
     def _norm():
-        xn_ref[:] = _rms_norm_f32(x2_ref[:], ln_ref[0], eps).astype(xn_ref.dtype)
+        xn_ref[:] = _rms_norm_f32(x2_ref[:], ln_ref[0, 0], eps).astype(xn_ref.dtype)
 
     @pl.when(j > n_wo_blocks)
     def _mlp():
@@ -379,7 +380,7 @@ def fused_out_mlp_stacked(attn_out: jax.Array, x: jax.Array,
             pl.BlockSpec((B, E), lambda j, l: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, HD, eb), wo_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, E), lambda j, l: (l[0], 0),
+            pl.BlockSpec((1, 1, E), lambda j, l: (l[0], 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, E, fb), lambda j, l: (l[0], 0, fblk(j)),
                          memory_space=pltpu.VMEM),
@@ -402,8 +403,8 @@ def fused_out_mlp_stacked(attn_out: jax.Array, x: jax.Array,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, E), x.dtype),
         interpret=interpret,
-    )(jnp.asarray(layer, jnp.int32).reshape(1), attn_out, x, wo_all, ln_all,
-      gateup_all, gateup_all, wd_all)
+    )(jnp.asarray(layer, jnp.int32).reshape(1), attn_out, x, wo_all,
+      ln_all.reshape(L, 1, E), gateup_all, gateup_all, wd_all)
 
 
 def _out_mlp_kernel(a_ref, x_ref, wo_ref, ln_ref, wg_ref, wu_ref, wd_ref,
