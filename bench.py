@@ -81,7 +81,8 @@ def main():
     QUANT = os.environ.get("BENCH_QUANT") or None        # int8
     PACK = {"1": True, "0": False}.get(os.environ.get("BENCH_PACK", ""))  # None=auto
     BUCKETS = os.environ.get("BENCH_BUCKETS", "1") == "1"  # ctx-sliced decode
-    FUSED = os.environ.get("BENCH_FUSED", "0") == "1"  # Pallas layer kernels
+    # Pallas fused layer kernels: auto (engine decides) / 1=force / 0=off
+    FUSED = {"1": True, "0": False}.get(os.environ.get("BENCH_FUSED", ""))
 
     from deepsearch_tts_tpu.engine.weights import fast_random_params
 

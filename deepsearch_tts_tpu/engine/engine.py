@@ -126,7 +126,9 @@ class Engine:
         quantize: str | None = None,  # "int8" quantizes matmul weights
         kv_quantize: str | None = None,  # "int8" KV pages + per-row scales
         pack_weights: bool | None = None,  # fuse QKV / gate+up (single-chip)
-        layer_fusion: bool = False,  # Pallas fused decode-layer kernels
+        layer_fusion: bool | None = None,  # Pallas fused decode-layer kernels
+        #   None = auto: on for TPU single-chip bf16 dense serving (measured
+        #   +2% decode and ~4x faster warmup vs the XLA layer chain)
         context_buckets: bool = True,  # slice decode page tables to pow2 need
         pipeline_decode: bool = True,  # dispatch chunk N+1 before syncing N
         ring_prefill_len: int | None = None,  # fresh prefills >= this length
@@ -159,13 +161,25 @@ class Engine:
             attn_impl = "xla"
         self.attn_impl = attn_impl
 
+        import inspect
+
+        _has_fused = "fused_decode" in inspect.signature(fam.forward).parameters
+        if layer_fusion is None:
+            # auto: Mosaic lowering needs 128-aligned dims; fusion targets
+            # the TPU single-chip bf16 dense hot path only
+            from ..utils import is_tpu_backend
+
+            layer_fusion = (
+                _has_fused and is_tpu_backend() and mesh is None
+                and quantize is None and kv_quantize is None
+                and self.cfg.head_dim % 128 == 0
+                and self.cfg.hidden % 128 == 0
+                and self.cfg.intermediate % 128 == 0)
         self.layer_fusion = bool(layer_fusion)
         if self.layer_fusion:
             # fused decode kernels read the packed wqkv / w_gateup layout and
             # bf16 weights; attention stays on the engine-selected path
-            import inspect
-
-            if "fused_decode" not in inspect.signature(fam.forward).parameters:
+            if not _has_fused:
                 raise ValueError(
                     f"model family {model_name!r} has no fused decode path")
             if quantize is not None or mesh is not None:
