@@ -80,7 +80,10 @@ def main():
     CACHE_MODE = os.environ.get("BENCH_CACHE", "paged")  # paged | slot
     QUANT = os.environ.get("BENCH_QUANT") or None        # int8
     PACK = {"1": True, "0": False}.get(os.environ.get("BENCH_PACK", ""))  # None=auto
-    BUCKETS = os.environ.get("BENCH_BUCKETS", "1") == "1"  # ctx-sliced decode
+    # ctx-sliced decode tables: 1=pow2 ladder, fine=+1.5x midpoints, 0=off
+    BUCKETS = {"1": True, "0": False}.get(
+        os.environ.get("BENCH_BUCKETS", "1"),
+        os.environ.get("BENCH_BUCKETS", "1"))
     # Pallas fused layer kernels: auto (engine decides) / 1=force / 0=off
     FUSED = {"1": True, "0": False}.get(os.environ.get("BENCH_FUSED", ""))
 

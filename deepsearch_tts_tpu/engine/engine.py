@@ -129,7 +129,8 @@ class Engine:
         layer_fusion: bool | None = None,  # Pallas fused decode-layer kernels
         #   None = auto: on for TPU single-chip bf16 dense serving (measured
         #   +2% decode and ~4x faster warmup vs the XLA layer chain)
-        context_buckets: bool = True,  # slice decode page tables to pow2 need
+        context_buckets: bool | str = True,  # slice decode tables to pow2
+        #   need; "fine" adds 1.5x midpoint buckets (less tail padding)
         pipeline_decode: bool = True,  # dispatch chunk N+1 before syncing N
         ring_prefill_len: int | None = None,  # fresh prefills >= this length
         # run ring attention over the mesh's tp axis (sp aliases tp)
@@ -352,17 +353,26 @@ class Engine:
     # ---------------------------------------------------------------- jit fns
 
     def _decode_buckets(self) -> list[int]:
-        """Pow2 page-count buckets up to the per-seq page budget."""
+        """Page-count buckets up to the per-seq page budget.
+
+        ``context_buckets=True`` → pow2 ladder; ``"fine"`` adds the 1.5x
+        midpoints (3, 6, 12, ...) — the XLA gather attention reads the whole
+        bucket per row, so finer buckets cut tail-step padding (a sequence
+        just past a pow2 boundary otherwise reads ~2x its context) at the
+        cost of one extra jitted decode program per midpoint."""
         cap = self.max_pages_per_seq
         if not self.context_buckets:
             return [cap]
-        out = []
+        fine = self.context_buckets == "fine"
+        out = set()
         b = 1
         while b < cap:
-            out.append(b)
+            out.add(b)
+            if fine and 1 < (b * 3) // 2 < cap:
+                out.add((b * 3) // 2)
             b *= 2
-        out.append(cap)
-        return out
+        out.add(cap)
+        return sorted(out)
 
     def _build_decode_fn(self):
         cfg, fwd = self.cfg, self.forward
