@@ -172,7 +172,7 @@ class Engine:
 
             layer_fusion = (
                 _has_fused and is_tpu_backend() and mesh is None
-                and quantize is None and kv_quantize is None
+                and quantize is None
                 and self.cfg.head_dim % 128 == 0
                 and self.cfg.hidden % 128 == 0
                 and self.cfg.intermediate % 128 == 0)

@@ -221,7 +221,7 @@ def forward(
             page_table = jnp.arange(tokens.shape[0], dtype=jnp.int32)[:, None]
 
         use_fused = (fused_decode and tokens.shape[1] == 1
-                     and not fresh_prefill and not kv_int8
+                     and not fresh_prefill
                      and "wqkv" in lp_stack and "w_gateup" in lp_stack
                      and not isinstance(lp_stack["wqkv"], dict))
 
@@ -291,6 +291,8 @@ def forward(
                     o.reshape(B, H * D).astype(x.dtype), x[:, 0],
                     lp_stack["wo"], lp_stack["ln2"], lp_stack["w_gateup"],
                     lp_stack["w_down"], layer, eps=cfg.rms_eps)[:, None, :]
+                if kv_int8:
+                    return (x, kpf, vpf, ksf, vsf, layer + 1), None
                 return (x, kpf, vpf, layer + 1), None
             h = rms_norm(x, lp["ln1"], cfg.rms_eps)
             if "wqkv" in lp:  # packed single-chip layout (engine.pack_weights)

@@ -188,3 +188,27 @@ def test_stacked_kernels_match_plain():
         np.testing.assert_allclose(np.asarray(out_s, np.float32),
                                    np.asarray(out_r, np.float32),
                                    rtol=0.02, atol=0.01)
+
+
+def test_engine_layer_fusion_int8_kv_parity():
+    """layer_fusion composes with int8 KV pages: fused and XLA paths agree
+    token-for-token under the same quantized cache."""
+    from deepsearch_tts_tpu.engine.engine import Engine, GenerationRequest
+    from deepsearch_tts_tpu.engine.tokenizer import ByteTokenizer
+
+    def req(ids, n):
+        return GenerationRequest(prompt_ids=ids, max_tokens=n,
+                                 temperature=0.0, top_k=0, top_p=1.0,
+                                 min_p=0.0, repetition_penalty=1.0)
+
+    tk = ByteTokenizer()
+    kw = dict(max_slots=2, page_size=4, n_pages=64, max_seq_len=64,
+              decode_chunk_len=4, seed=0, kv_quantize="int8")
+    ref = Engine("qwen3-test", tk, **kw)
+    r_ref = ref.generate(req(list(range(10, 26)), 8))
+    ref.shutdown()
+
+    eng = Engine("qwen3-test", tk, layer_fusion=True, **kw)
+    r = eng.generate(req(list(range(10, 26)), 8))
+    eng.shutdown()
+    assert r.token_ids == r_ref.token_ids, (r.token_ids, r_ref.token_ids)
