@@ -81,10 +81,10 @@ def main():
     QUANT = os.environ.get("BENCH_QUANT") or None        # int8 weights
     KVQUANT = os.environ.get("BENCH_KVQUANT") or None    # int8 KV pages
     PACK = {"1": True, "0": False}.get(os.environ.get("BENCH_PACK", ""))  # None=auto
-    # ctx-sliced decode tables: 1=pow2 ladder, fine=+1.5x midpoints, 0=off
+    # ctx-sliced decode tables: fine (default) / 1=pow2 / 0=off
     BUCKETS = {"1": True, "0": False}.get(
-        os.environ.get("BENCH_BUCKETS", "1"),
-        os.environ.get("BENCH_BUCKETS", "1"))
+        os.environ.get("BENCH_BUCKETS", "fine"),
+        os.environ.get("BENCH_BUCKETS", "fine"))
     # Pallas fused layer kernels: auto (engine decides) / 1=force / 0=off
     FUSED = {"1": True, "0": False}.get(os.environ.get("BENCH_FUSED", ""))
 

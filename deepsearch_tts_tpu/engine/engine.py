@@ -129,8 +129,12 @@ class Engine:
         layer_fusion: bool | None = None,  # Pallas fused decode-layer kernels
         #   None = auto: on for TPU single-chip bf16 dense serving (measured
         #   +2% decode and ~4x faster warmup vs the XLA layer chain)
-        context_buckets: bool | str = True,  # slice decode tables to pow2
-        #   need; "fine" adds 1.5x midpoint buckets (less tail padding)
+        context_buckets: bool | str = "fine",  # slice decode page tables to
+        #   the bucketed context need: "fine" (default) = pow2 + 1.5x
+        #   midpoints, True = pow2 only, False = always the full budget.
+        #   Measured on v5e (1.5B, B=64): fine 6470 vs pow2 6301 tok/s —
+        #   the XLA gather reads the whole bucket per row, so midpoints cut
+        #   tail-step padding at the cost of a few extra decode programs.
         pipeline_decode: bool = True,  # dispatch chunk N+1 before syncing N
         ring_prefill_len: int | None = None,  # fresh prefills >= this length
         # run ring attention over the mesh's tp axis (sp aliases tp)
