@@ -263,8 +263,11 @@ def fused_qkv_stacked(x: jax.Array, ln_all: jax.Array, wqkv_all: jax.Array,
     assert wqkv_all.shape == (L, E, C), (wqkv_all.shape, (L, E, C))
     bc = block_c or D
     if block_c is None:
-        for cand in range(D, min(513, KD + 1), D):
-            if HD % cand == 0 and KD % cand == 0:
+        # largest section-aligned block whose double-buffered weight slab
+        # leaves VMEM headroom — fewer grid steps = less fixed overhead
+        for cand in range(D, min(2049, KD + 1), D):
+            if (HD % cand == 0 and KD % cand == 0
+                    and 2 * E * cand * 2 <= 9 * 2**20):
                 bc = cand
     n_blocks = C // bc
 
@@ -360,7 +363,14 @@ def fused_out_mlp_stacked(attn_out: jax.Array, x: jax.Array,
     L, _, F2 = gateup_all.shape
     F = F2 // 2
     eb = _pick_block(E, target=block)
+    # grow the F block while the double-buffered gate/up/down slabs (3
+    # operands) plus the wo slab stay inside ~13MB of VMEM — fewer grid
+    # steps cut fixed per-step overhead
     fb = _pick_block(F, target=block)
+    for cand in (768, 512, 384):
+        if F % cand == 0 and (3 * 2 * E * cand + 2 * HD * eb) * 2 <= 13 * 2**20:
+            fb = max(fb, cand)
+            break
     n_wo = E // eb
     n_f = F // fb
     grid = n_wo + 1 + n_f
