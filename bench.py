@@ -87,6 +87,7 @@ def main():
         os.environ.get("BENCH_BUCKETS", "fine"))
     # Pallas fused layer kernels: auto (engine decides) / 1=force / 0=off
     FUSED = {"1": True, "0": False}.get(os.environ.get("BENCH_FUSED", ""))
+    PFG = os.environ.get("BENCH_PFGROUP")  # prefill rows per dispatch
 
     from deepsearch_tts_tpu.engine.weights import fast_random_params
 
@@ -99,7 +100,7 @@ def main():
         decode_chunk_len=CHUNK, seed=0, enable_prefix_cache=False,
         attn_impl=ATTN, cache_mode=CACHE_MODE, quantize=QUANT,
         kv_quantize=KVQUANT, pack_weights=PACK, context_buckets=BUCKETS,
-        layer_fusion=FUSED,
+        layer_fusion=FUSED, max_prefill_group=int(PFG) if PFG else None,
     )
     init_s = time.monotonic() - t_init
 

@@ -136,6 +136,9 @@ class Engine:
         #   the XLA gather reads the whole bucket per row, so midpoints cut
         #   tail-step padding at the cost of a few extra decode programs.
         pipeline_decode: bool = True,  # dispatch chunk N+1 before syncing N
+        max_prefill_group: int | None = None,  # prefill rows per dispatch
+        #   (padded to pow2; default 8 — larger groups amortize the per-
+        #   dispatch fixed cost when bursts of same-bucket prompts arrive)
         ring_prefill_len: int | None = None,  # fresh prefills >= this length
         # run ring attention over the mesh's tp axis (sp aliases tp)
         seed: int = 0,
@@ -155,6 +158,8 @@ class Engine:
         # admissions per scheduler iteration: default = all free slots
         # (max throughput); lower for tighter decode latency under load
         self.admit_batch = admit_batch if admit_batch is not None else max_slots
+        if max_prefill_group is not None:
+            self.MAX_PREFILL_GROUP = int(max_prefill_group)
         self.context_buckets = context_buckets
         if attn_impl is None:
             # measured on v5e (1.5B, batch 64, ctx ≤512): XLA's fused
@@ -733,7 +738,7 @@ class Engine:
             self.prefix_cache.evict_lru(needed)
         return self.allocator.can_alloc(needed)
 
-    MAX_PREFILL_GROUP = 8  # prefill batch rows per dispatch (padded to pow2)
+    MAX_PREFILL_GROUP = 8  # default prefill rows per dispatch (pow2-padded)
 
     def _apply_aborts(self) -> None:
         if not self._aborts:
