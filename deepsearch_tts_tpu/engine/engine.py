@@ -738,7 +738,11 @@ class Engine:
             self.prefix_cache.evict_lru(needed)
         return self.allocator.can_alloc(needed)
 
-    MAX_PREFILL_GROUP = 8  # default prefill rows per dispatch (pow2-padded)
+    # default prefill rows per dispatch (pow2-padded). 16 measured best for
+    # burst admission on v5e (prefill 21.4k vs 15.3k tok/s at group 8; e2e
+    # +8%) — groups only grow when that many same-bucket prompts are queued,
+    # so small loads keep small dispatches.
+    MAX_PREFILL_GROUP = 16
 
     def _apply_aborts(self) -> None:
         if not self._aborts:
