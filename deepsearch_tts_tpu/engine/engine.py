@@ -594,9 +594,9 @@ class Engine:
         B = self.max_slots
         for plen in prompt_lens:
             bucket = self._bucket(max(int(plen), 1))
+            cap = self._group_cap(bucket)
             for G in group_sizes:
-                Gp = self._pow2(min(G, self.MAX_PREFILL_GROUP),
-                                self.MAX_PREFILL_GROUP)
+                Gp = self._pow2(min(G, cap), cap)
                 for fresh in fresh_variants:
                     prefill = self._prefill_fn(
                         (bucket, Gp, fresh, self._ring_prefill(bucket, fresh)))
@@ -743,6 +743,14 @@ class Engine:
     # +8%) — groups only grow when that many same-bucket prompts are queued,
     # so small loads keep small dispatches.
     MAX_PREFILL_GROUP = 16
+    # cap rows x bucket per dispatch: the fresh-prefill causal path scores
+    # [G, H, T, T] in f32, so unchecked long buckets at full group width
+    # exhaust HBM (16 x 2048 tokens = ~4GB of scores)
+    PREFILL_TOKEN_BUDGET = 8192
+
+    def _group_cap(self, bucket: int) -> int:
+        return max(1, min(self.MAX_PREFILL_GROUP,
+                          self.PREFILL_TOKEN_BUDGET // max(bucket, 1)))
 
     def _apply_aborts(self) -> None:
         if not self._aborts:
@@ -809,8 +817,9 @@ class Engine:
         for p in prepared:
             groups.setdefault(self._bucket(max(len(p["suffix"]), 1)), []).append(p)
         for bucket, grp in sorted(groups.items()):
-            for i in range(0, len(grp), self.MAX_PREFILL_GROUP):
-                sub = grp[i : i + self.MAX_PREFILL_GROUP]
+            cap = self._group_cap(bucket)
+            for i in range(0, len(grp), cap):
+                sub = grp[i : i + cap]
                 try:
                     self._prefill_group(bucket, sub)
                 except Exception as e:
@@ -921,7 +930,7 @@ class Engine:
         seen-mask scatters are dropped (row index = max_slots)."""
         t0 = time.monotonic()
         G = len(grp)
-        Gp = self._pow2(G, self.MAX_PREFILL_GROUP)
+        Gp = self._pow2(G, self._group_cap(bucket))
 
         tokens = np.zeros((Gp, bucket), np.int32)
         positions = np.full((Gp, bucket), -1, np.int32)
