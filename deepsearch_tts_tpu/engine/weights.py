@@ -333,4 +333,9 @@ def load_or_init_params(model_name: str, weights_path: str = "",
         if hasattr(cfg, "n_experts"):
             return convert_qwen3_moe(raw, cfg), fam.name
         return convert_qwen3_dense(raw, cfg), fam.name
-    return fam.init_params(fam.config, jax.random.PRNGKey(seed)), fam.name
+    cfg = fam.config
+    if not hasattr(cfg, "n_experts") and not hasattr(cfg, "kv_lora_rank"):
+        # dense: host-side bulk init — per-parameter jax.random dispatches
+        # hundreds of tiny device programs (pathological over remote compile)
+        return fast_random_params(cfg, seed=seed), fam.name
+    return fam.init_params(cfg, jax.random.PRNGKey(seed)), fam.name

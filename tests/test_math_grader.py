@@ -185,6 +185,28 @@ DIFFERENTIAL_CASES = [
     ("x**2 - 1", "(x-1)*(x+1)"), ("x + 1", "x + 2"),
     ("x+2n+1", "x+1"), ("no idea", "5"), ("", "5"),
     ("x + y = 3", "y + x = 3"),
+    # numerics: separators, signs, precision, sci-notation-ish forms
+    ("1,000,000", "1000000"), ("-5", "-5.0"), ("-5", "5"),
+    ("0.333333", "0.3333"), ("0.33", "0.3333"), ("100", "100.00001"),
+    ("2/4", "0.5"), ("3/7", "0.42857"), ("22/7", "3.14"),
+    ("1/3", "0.334"), ("6", "6.000001"),
+    # percent edge cases (the toolkit tries x, x/100, 100x)
+    ("120%", "1.2"), ("1.2", "120%"), ("0.05", "5"), ("200", "2"),
+    # multi-choice extraction ladder
+    ("The correct option is (D)", "D"), ("Answer: E", "E"),
+    ("A and B are both wrong, so C", "C"), ("D", "D"), ("A", "B"),
+    # tuples / vectors / matrices (element-wise equivalence)
+    ("[1,2,3]", "[1, 2, 3]"), ("[1,2,3]", "[1,2,4]"),
+    ("(0.5, 2)", "(1/2, 2)"), ("[[1,2],[3,4]]", "[[1,2],[3,4]]"),
+    ("[[1,2],[3,4]]", "[[1,2],[3,5]]"),
+    # symbolic equivalence decidable via parse_expr
+    ("2*x + 2", "2*(x+1)"), ("x**2 + 2*x + 1", "(x+1)**2"),
+    ("sqrt(4)", "2"), ("x*y", "y*x"), ("x/2", "0.5*x"),
+    ("x**2", "x**3"),
+    # equations: sides may swap; different equations differ
+    ("y = 2*x", "2*x = y"), ("y = 2*x", "y = 3*x"),
+    # garbage / non-answers
+    ("I cannot determine this", "12"), ("unknown", "unknown"),
 ]
 
 
