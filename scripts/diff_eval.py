@@ -25,6 +25,7 @@ import sys
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 STUB_DIR = os.path.join(_HERE, "_stubs")
+sys.path.insert(0, os.path.dirname(_HERE))  # repo root, for package imports
 
 
 def run_reference_eval(trace_path: str, task: str,
