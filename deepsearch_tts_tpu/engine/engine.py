@@ -179,12 +179,15 @@ class Engine:
             # the TPU single-chip bf16 dense hot path only
             from ..utils import is_tpu_backend
 
+            from ..ops.fused_layer import fused_vmem_ok
+
             layer_fusion = (
                 _has_fused and is_tpu_backend() and mesh is None
                 and quantize is None
                 and self.cfg.head_dim % 128 == 0
                 and self.cfg.hidden % 128 == 0
-                and self.cfg.intermediate % 128 == 0)
+                and self.cfg.intermediate % 128 == 0
+                and fused_vmem_ok(self.cfg, max_slots))
         self.layer_fusion = bool(layer_fusion)
         if self.layer_fusion:
             # fused decode kernels read the packed wqkv / w_gateup layout and

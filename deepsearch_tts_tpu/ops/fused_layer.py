@@ -42,6 +42,19 @@ def _pick_block(total: int, target: int = 512, align: int = 128) -> int:
     return best or total
 
 
+def fused_vmem_ok(cfg, batch: int) -> bool:
+    """Can the fused out+MLP kernel fit VMEM at this (config, batch)?
+
+    Mirrors :func:`fused_out_mlp_stacked`'s block chooser with its minimum
+    128-wide blocks; the engine's auto-enable consults this so oversized
+    models (e.g. qwen3-32b at batch 64) fall back to the XLA layer chain
+    instead of failing Mosaic allocation."""
+    E, F = cfg.hidden, cfg.intermediate
+    HD = cfg.n_heads * cfg.head_dim
+    act = batch * (HD * 2 + E * 2 * 4 + E * 4)
+    return act + 2 * HD * 128 * 2 + 3 * 2 * E * 128 * 2 <= 15 * 2**20
+
+
 def _rms_norm_f32(x, w, eps):
     xf = x.astype(jnp.float32)
     var = jnp.mean(xf * xf, axis=-1, keepdims=True)
@@ -362,14 +375,23 @@ def fused_out_mlp_stacked(attn_out: jax.Array, x: jax.Array,
     HD = attn_out.shape[1]
     L, _, F2 = gateup_all.shape
     F = F2 // 2
-    eb = _pick_block(E, target=block)
-    # grow the F block while the double-buffered gate/up/down slabs (3
-    # operands) plus the wo slab stay inside ~13MB of VMEM — fewer grid
-    # steps cut fixed per-step overhead
-    fb = _pick_block(F, target=block)
-    for cand in (768, 512, 384):
-        if F % cand == 0 and (3 * 2 * E * cand + 2 * HD * eb) * 2 <= 13 * 2**20:
-            fb = max(fb, cand)
+    # VMEM budget both ways: resident activations (a/x/out/x2/xn bf16 +
+    # acc f32) plus the double-buffered wo slab and the three
+    # double-buffered gate/up/down slabs must fit ~13MB. Grow blocks for
+    # fewer grid steps, shrink them for big models (qwen3-8b: E=4096,
+    # F=12288 would blow VMEM at fb=256 otherwise).
+    act_bytes = B * (HD * 2 + E * 2 * 4 + E * 4)
+    budget = 13 * 2**20 - act_bytes
+    eb = 128
+    for cand in (512, 384, 256, 128):
+        if E % cand == 0 and 2 * HD * cand * 2 <= max(budget // 4, 1):
+            eb = cand
+            break
+    fb = 128
+    for cand in (768, 512, 384, 256, 128):
+        if F % cand == 0 and (3 * 2 * E * cand * 2
+                              <= budget - 2 * HD * eb * 2):
+            fb = cand
             break
     n_wo = E // eb
     n_f = F // fb
