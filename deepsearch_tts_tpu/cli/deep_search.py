@@ -81,6 +81,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--engine_page_size", type=int, default=64)
     p.add_argument("--engine_pages", type=int, default=4096)
     p.add_argument("--engine_max_seq_len", type=int, default=8192)
+    p.add_argument("--engine_warmup", type=int, default=0,
+                   help="pre-compile engine programs for this prompt length")
     p.add_argument("--engine_tp", type=int, default=0,
                    help="tensor-parallel ways for the engine (0 = single chip)")
     p.add_argument("--limit", type=int, default=0, help="max problems (0 = all)")
@@ -132,6 +134,8 @@ def make_clients(args):
         max_slots=args.engine_max_slots, page_size=args.engine_page_size,
         n_pages=args.engine_pages, max_seq_len=args.engine_max_seq_len,
     )
+    if args.engine_warmup:
+        engine.warmup(prompt_lens=(args.engine_warmup,))
     main = EngineClient(engine)
     if args.aux_model_name and args.aux_model_name != args.model_name:
         # co-serve a distinct aux verifier/explorer model on the same chip(s):

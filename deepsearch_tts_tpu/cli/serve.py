@@ -29,6 +29,10 @@ def main(argv=None):
     p.add_argument("--decode_chunk", type=int, default=8)
     p.add_argument("--tp", type=int, default=0,
                    help="tensor-parallel ways (0 = single chip)")
+    p.add_argument("--warmup", type=int, default=0, metavar="PROMPT_LEN",
+                   help="pre-compile the serving programs for this prompt "
+                        "length before accepting requests (first-request "
+                        "latency otherwise pays multi-second jit compiles)")
     args = p.parse_args(argv)
 
     from ..engine.engine import Engine
@@ -50,6 +54,9 @@ def main(argv=None):
                     page_size=args.page_size, n_pages=args.pages,
                     max_seq_len=args.max_seq_len,
                     decode_chunk_len=args.decode_chunk)
+    if args.warmup:
+        print(f"warming serving programs (prompt_len={args.warmup})...")
+        engine.warmup(prompt_lens=(args.warmup,))
     server = OpenAIServer(engine, args.host, args.port)
     print(f"serving {name} on http://{args.host}:{args.port}/v1")
     asyncio.run(server.serve_forever())

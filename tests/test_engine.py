@@ -247,3 +247,22 @@ def test_submit_many_atomic_batch():
             assert a.token_ids == b.token_ids
     finally:
         eng.shutdown()
+
+
+def test_prefill_group_token_budget_cap():
+    """Long buckets must cap the prefill group width: the fresh-prefill
+    causal path scores [G, H, T, T] in f32, so rows x bucket per dispatch is
+    bounded by PREFILL_TOKEN_BUDGET (16x2048-token groups OOM real HBM)."""
+    tk = ByteTokenizer()
+    eng = Engine("qwen3-test", tk, max_slots=4, page_size=16, n_pages=256,
+                 max_seq_len=2048, decode_chunk_len=4)
+    assert eng._group_cap(16) == eng.MAX_PREFILL_GROUP
+    assert eng._group_cap(1024) == max(1, eng.PREFILL_TOKEN_BUDGET // 1024)
+    assert eng._group_cap(2048) == max(1, eng.PREFILL_TOKEN_BUDGET // 2048)
+    assert eng._group_cap(10 * eng.PREFILL_TOKEN_BUDGET) == 1
+    # an actual long-prompt admission goes through the capped path
+    r = eng.generate(GenerationRequest(
+        prompt_ids=list(range(50)) * 12, max_tokens=4, temperature=0.0,
+        top_k=0, top_p=1.0, min_p=0.0, repetition_penalty=1.0))
+    assert len(r.token_ids) == 4
+    eng.shutdown()
