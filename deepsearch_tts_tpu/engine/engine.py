@@ -819,12 +819,17 @@ class Engine:
         groups: dict[int, list] = {}
         for p in prepared:
             groups.setdefault(self._bucket(max(len(p["suffix"]), 1)), []).append(p)
+        # two-phase admission pipeline: dispatch every group's program
+        # first (device chains them through the donated cache buffers),
+        # then sync each in order — the per-dispatch tunnel round trip
+        # overlaps the previous group's execution instead of serializing.
+        handles = []
         for bucket, grp in sorted(groups.items()):
             cap = self._group_cap(bucket)
             for i in range(0, len(grp), cap):
                 sub = grp[i : i + cap]
                 try:
-                    self._prefill_group(bucket, sub)
+                    handles.append(self._prefill_group_dispatch(bucket, sub))
                 except Exception as e:
                     # fail only this group's requests, not the whole engine
                     import traceback
@@ -832,6 +837,15 @@ class Engine:
                     traceback.print_exc()
                     for p in sub:
                         self._fail_prepared(p, e)
+        for h in handles:
+            try:
+                self._prefill_group_process(h)
+            except Exception as e:
+                import traceback
+
+                traceback.print_exc()
+                for p in h["grp"]:
+                    self._fail_prepared(p, e)
         return True
 
     def _fail_prepared(self, p: dict, exc: Exception) -> None:
@@ -928,9 +942,15 @@ class Engine:
         return min(g, cap)
 
     def _prefill_group(self, bucket: int, grp: list[dict]) -> None:
-        """One fused prefill + first-token sample dispatch for a group of
-        same-bucket requests. Padding rows write to the null page and their
-        seen-mask scatters are dropped (row index = max_slots)."""
+        """One fused prefill + first-token sample for a group of same-bucket
+        requests (dispatch + sync; see the split methods below)."""
+        self._prefill_group_process(self._prefill_group_dispatch(bucket, grp))
+
+    def _prefill_group_dispatch(self, bucket: int, grp: list[dict]) -> dict:
+        """Dispatch one fused prefill + first-token sample program for a
+        group of same-bucket requests WITHOUT syncing its results. Padding
+        rows write to the null page and their seen-mask scatters are dropped
+        (row index = max_slots)."""
         t0 = time.monotonic()
         G = len(grp)
         Gp = self._pow2(G, self._group_cap(bucket))
@@ -973,7 +993,14 @@ class Engine:
                 jnp.asarray(rows), self.seen, jnp.asarray(seen_rows), samp,
                 jnp.asarray(pad(self.min_tokens[srows])), sk,
             )
-            first_np = np.asarray(first[:G])
+        return {"grp": grp, "first": first, "t0": t0}
+
+    def _prefill_group_process(self, h: dict) -> None:
+        """Sync one dispatched prefill group and fold its first tokens into
+        slot state."""
+        grp, t0 = h["grp"], h["t0"]
+        with self.spans.span("prefill_sync"):
+            first_np = np.asarray(h["first"][: len(grp)])
 
         n_prefill = 0
         for g, p in enumerate(grp):

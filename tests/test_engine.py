@@ -139,7 +139,7 @@ def test_prefill_group_failure_isolated():
     serving (per-group error isolation in _admit)."""
     eng = Engine("qwen3-test", ByteTokenizer(), max_slots=4, page_size=4,
                  n_pages=128, max_seq_len=128, decode_chunk_len=4, seed=0)
-    orig = eng._prefill_group
+    orig = eng._prefill_group_dispatch
     calls = {"n": 0}
 
     def boom(bucket, grp):
@@ -148,7 +148,7 @@ def test_prefill_group_failure_isolated():
             raise RuntimeError("injected prefill failure")
         return orig(bucket, grp)
 
-    eng._prefill_group = boom
+    eng._prefill_group_dispatch = boom
     f1 = eng.submit(_greedy_req([1, 2, 3], max_tokens=4))
     import concurrent.futures
 
