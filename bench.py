@@ -88,6 +88,7 @@ def main():
     # Pallas fused layer kernels: auto (engine decides) / 1=force / 0=off
     FUSED = {"1": True, "0": False}.get(os.environ.get("BENCH_FUSED", ""))
     PFG = os.environ.get("BENCH_PFGROUP")  # prefill rows per dispatch
+    MODE = os.environ.get("BENCH_MODE", "")  # "" | multiturn (prefix reuse)
 
     from deepsearch_tts_tpu.engine.weights import fast_random_params
 
@@ -97,7 +98,8 @@ def main():
         "bench-qwen3", ByteTokenizer(), params=params,
         max_slots=B, page_size=PS, n_pages=B * (SEQLEN // PS) + 1,
         max_seq_len=SEQLEN,
-        decode_chunk_len=CHUNK, seed=0, enable_prefix_cache=False,
+        decode_chunk_len=CHUNK, seed=0,
+        enable_prefix_cache=(MODE == "multiturn"),
         attn_impl=ATTN, cache_mode=CACHE_MODE, quantize=QUANT,
         kv_quantize=KVQUANT, pack_weights=PACK, context_buckets=BUCKETS,
         layer_fusion=FUSED, max_prefill_group=int(PFG) if PFG else None,
@@ -125,20 +127,40 @@ def main():
 
     # two measured rounds: the axon tunnel has ±10-20% run-to-run variance
     # (CLAUDE.md); report the better round, keep both in detail
+    multiturn = MODE == "multiturn"
     rounds = []
     for _ in range(int(os.environ.get("BENCH_ROUNDS", 2))):
         engine.stats.update(decode_tokens=0, decode_time_s=0.0,
                             decode_steps=0, prefill_tokens=0,
                             prefill_time_s=0.0, requests=0)
         t0 = time.monotonic()
-        futs = engine.submit_many([req(i) for i in range(B)])
+        reqs = [req(i) for i in range(B)]
+        futs = engine.submit_many(reqs)
         results = [f.result(timeout=3600) for f in futs]
+        cached = 0
+        if multiturn:
+            # turn 2: each trajectory returns from a "tool call" with the
+            # conversation so far plus a tool-result suffix — the product's
+            # multi-turn pattern. Prefix cache must keep re-prefill to the
+            # new suffix only (engine/prefix_cache.py).
+            reqs2 = []
+            for rq, r in zip(reqs, results):
+                ids = (list(rq.prompt_ids) + list(r.token_ids)
+                       + rng.integers(0, cfg.vocab_size, size=64).tolist())
+                reqs2.append(GenerationRequest(
+                    prompt_ids=ids, max_tokens=DECODE, temperature=0.7,
+                    top_k=20, top_p=0.8, min_p=0.05,
+                    repetition_penalty=1.05))
+            results2 = [f.result(timeout=3600)
+                        for f in engine.submit_many(reqs2)]
+            cached = sum(r.cached_prompt_tokens for r in results2)
+            results = results + results2
         wall = time.monotonic() - t0
         st = engine.telemetry()
         rounds.append({
             "decode_tps": st["decode_tokens"] / max(st["decode_time_s"], 1e-9),
             "e2e_tok_s": sum(r.completion_tokens for r in results) / wall,
-            "wall_s": wall, "stats": st,
+            "wall_s": wall, "stats": st, "cached_prompt_tokens": cached,
         })
     best = max(rounds, key=lambda r: r["decode_tps"])
     wall = best["wall_s"]
@@ -188,6 +210,7 @@ def main():
             "layer_fusion": engine.layer_fusion,
             "prefill_tok_s": round(st["prefill_tokens"] /
                                    max(st["prefill_time_s"], 1e-9), 1),
+            "cached_prompt_tokens": best.get("cached_prompt_tokens", 0),
             "spans": st.get("spans", {}),
         },
     }))
