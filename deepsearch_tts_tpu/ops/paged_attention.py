@@ -194,8 +194,8 @@ def pallas_paged_decode(
         in_specs=[
             pl.BlockSpec((1, H, D), lambda b, *refs: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),   # pools stay in HBM
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),   # pools stay in HBM
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((1, H, D), lambda b, *refs: (b, 0, 0),
                                memory_space=pltpu.VMEM),

@@ -212,3 +212,60 @@ def test_engine_layer_fusion_int8_kv_parity():
     r = eng.generate(req(list(range(10, 26)), 8))
     eng.shutdown()
     assert r.token_ids == r_ref.token_ids, (r.token_ids, r_ref.token_ids)
+
+
+def test_stacked_kernels_tpu_geometry():
+    """The kernels at a TPU-realistic head_dim=128 geometry (the shapes the
+    chip actually runs; the other tests use D=64 for speed)."""
+    from deepsearch_tts_tpu.ops.fused_layer import (
+        fused_out_mlp_stacked,
+        fused_qkv_stacked,
+    )
+
+    L, Bq, Eq, Fq, Hq, Kq, Dq = 2, 4, 256, 512, 2, 1, 128
+    ks = jax.random.split(jax.random.PRNGKey(7), 8)
+
+    def rnd(k, shape):
+        return (jax.random.normal(k, shape, jnp.float32) * 0.05).astype(jnp.bfloat16)
+
+    x = rnd(ks[0], (Bq, Eq))
+    ln1 = jnp.ones((L, Eq), jnp.bfloat16)
+    wqkv = rnd(ks[1], (L, Eq, (Hq + 2 * Kq) * Dq))
+    qn = jnp.ones((L, Dq), jnp.bfloat16)
+    kn = jnp.ones((L, Dq), jnp.bfloat16)
+    positions = jnp.arange(Bq, dtype=jnp.int32)[:, None]
+    cos, sin = rope_angles(positions, Dq, 1e6)
+
+    q, k, v = fused_qkv_stacked(x, ln1, wqkv, qn, kn, cos[:, 0], sin[:, 0],
+                                jnp.int32(1), n_heads=Hq, n_kv=Kq,
+                                head_dim=Dq, eps=EPS, interpret=True)
+    assert q.shape == (Bq, Hq * Dq) and k.shape == v.shape == (Bq, Kq * Dq)
+
+    # reference via the model's op chain
+    h = rms_norm(x[:, None, :], ln1[1], EPS)
+    wq = wqkv[1][:, : Hq * Dq]
+    q_ref = jnp.dot(h, wq, preferred_element_type=jnp.bfloat16).reshape(
+        Bq, 1, Hq, Dq)
+    q_ref = apply_rope(rms_norm(q_ref, qn[1], EPS), cos, sin)
+    np.testing.assert_allclose(np.asarray(q, np.float32),
+                               np.asarray(q_ref.reshape(Bq, Hq * Dq), np.float32),
+                               rtol=0.05, atol=0.02)
+
+    wo = rnd(ks[2], (L, Hq * Dq, Eq))
+    gateup = rnd(ks[3], (L, Eq, 2 * Fq))
+    wd = rnd(ks[4], (L, Fq, Eq))
+    ln2 = jnp.ones((L, Eq), jnp.bfloat16)
+    a = rnd(ks[5], (Bq, Hq * Dq))
+    out = fused_out_mlp_stacked(a, x, wo, ln2, gateup, wd, jnp.int32(0),
+                                eps=EPS, interpret=True)
+    o = jnp.dot(a, wo[0], preferred_element_type=jnp.float32)
+    x2 = (x.astype(jnp.float32) + o).astype(jnp.bfloat16)
+    hh = rms_norm(x2, ln2[0], EPS)
+    g = jnp.dot(hh, gateup[0][:, :Fq], preferred_element_type=jnp.float32)
+    u = jnp.dot(hh, gateup[0][:, Fq:], preferred_element_type=jnp.float32)
+    mlp = jnp.dot((jax.nn.silu(g) * u).astype(jnp.bfloat16), wd[0],
+                  preferred_element_type=jnp.float32)
+    ref = (x2.astype(jnp.float32) + mlp).astype(jnp.bfloat16)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=0.05, atol=0.02)
