@@ -6,7 +6,10 @@ numbers. Prints one JSON line per measurement.
 """
 import json
 import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
