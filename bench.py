@@ -164,7 +164,6 @@ def main():
         })
     best = max(rounds, key=lambda r: r["decode_tps"])
     wall = best["wall_s"]
-    total_decoded = best["e2e_tok_s"] * wall
     st = best["stats"]
     decode_tps = best["decode_tps"]
 

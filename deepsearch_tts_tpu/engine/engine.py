@@ -250,8 +250,6 @@ class Engine:
         if kv_quantize not in (None, "int8"):
             raise ValueError(f"unknown kv_quantize {kv_quantize!r}")
         if kv_quantize:
-            import inspect
-
             if "k_scales" not in inspect.signature(fam.forward).parameters:
                 raise ValueError(
                     f"model family {model_name!r} does not support int8 KV")
