@@ -85,8 +85,11 @@ def sample(
     temp = jnp.maximum(params.temperature, 1e-6)[:, None]
     scaled = logits / temp
 
-    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # exact, cheap
     vals, idx = jax.lax.approx_max_k(scaled, window, recall_target=1.0)
+    # the window is exactly sorted, so column 0 IS the argmax — temperature
+    # is a positive per-row scalar, so argmax(scaled) == argmax(logits) and
+    # greedy needs no separate full-vocab pass
+    greedy = idx[:, 0].astype(jnp.int32)
     col = jax.lax.broadcasted_iota(jnp.int32, vals.shape, 1)
 
     keep = jnp.ones_like(vals, bool)
@@ -94,8 +97,11 @@ def sample(
     keep &= (col < params.top_k[:, None]) | (params.top_k[:, None] <= 0)
     # top-p: keep while preceding TRUE cumulative probability < p (mass from
     # the full-vocab softmax, so the nucleus is not cut early by window
-    # renormalization); column 0 always survives (cum_prev[0] == 0)
-    lse = jax.scipy.special.logsumexp(scaled, axis=-1, keepdims=True)
+    # renormalization); column 0 always survives (cum_prev[0] == 0).
+    # logsumexp reuses the exact max from the window (one fewer [B, V] pass
+    # than jax.scipy logsumexp, which recomputes it).
+    m = vals[:, :1]
+    lse = m + jnp.log(jnp.sum(jnp.exp(scaled - m), axis=-1, keepdims=True))
     probs = jnp.exp(vals - lse)
     cum_prev = jnp.cumsum(probs, axis=-1) - probs
     keep &= (cum_prev < params.top_p[:, None]) | (params.top_p[:, None] >= 1.0)
