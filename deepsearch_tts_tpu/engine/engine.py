@@ -354,6 +354,11 @@ class Engine:
             "decode_steps": 0, "decode_time_s": 0.0, "prefill_time_s": 0.0,
             "preemptions": 0,
         }
+        # high-water mark for non-overlapping prefill-time accounting: under
+        # two-phase admission all groups dispatch back-to-back before any
+        # sync, so summing raw per-group [t0, sync] intervals double-counts
+        # the overlap (and can exceed wall time)
+        self._prefill_clock = 0.0
 
         from .profiling import SpanTimer
 
@@ -1013,7 +1018,11 @@ class Engine:
             if slot.stop.finished or len(prompt) + len(slot.generated) >= self.max_seq_len:
                 self._finish_slot(slot)
         self.stats["prefill_tokens"] += n_prefill
-        self.stats["prefill_time_s"] += time.monotonic() - t0
+        # union of [t0, now] with everything already counted: overlapping
+        # pipelined groups contribute only their uncovered tail
+        now = time.monotonic()
+        self.stats["prefill_time_s"] += now - max(t0, self._prefill_clock)
+        self._prefill_clock = now
 
     def _record_token(self, slot: _Slot, tok: int):
         piece = slot.detok.push(tok)

@@ -88,7 +88,10 @@ def sample(
     vals, idx = jax.lax.approx_max_k(scaled, window, recall_target=1.0)
     # the window is exactly sorted, so column 0 IS the argmax — temperature
     # is a positive per-row scalar, so argmax(scaled) == argmax(logits) and
-    # greedy needs no separate full-vocab pass
+    # greedy needs no separate full-vocab pass. Tie-break caveat: on exactly
+    # equal top logits approx_max_k's bin reduction may pick a different
+    # index than jnp.argmax's lowest-index rule — greedy is still a valid
+    # argmax, just not bit-identical to pre-r2 outputs on ties.
     greedy = idx[:, 0].astype(jnp.int32)
     col = jax.lax.broadcasted_iota(jnp.int32, vals.shape, 1)
 

@@ -42,17 +42,45 @@ def _pick_block(total: int, target: int = 512, align: int = 128) -> int:
     return best or total
 
 
+def _out_mlp_blocks(E: int, F: int, HD: int, batch: int
+                    ) -> tuple[int, int] | None:
+    """Block choice for :func:`fused_out_mlp_stacked` under its 13MB VMEM
+    budget: resident activations (a/x/out/x2/xn bf16 + acc f32) plus the
+    double-buffered wo slab and three double-buffered gate/up/down slabs.
+    Returns ``(eb, fb)`` or ``None`` when even the minimum 128-wide blocks
+    exceed the budget — the single source of truth for both the kernel and
+    the engine's auto-enable gate (so the gate can never admit a config the
+    chooser cannot actually fit)."""
+    act_bytes = batch * (HD * 2 + E * 2 * 4 + E * 4)
+    budget = 13 * 2**20 - act_bytes
+    eb = None
+    for cand in (512, 384, 256, 128):
+        if E % cand == 0 and 2 * HD * cand * 2 <= max(budget // 4, 1):
+            eb = cand
+            break
+    if eb is None:
+        return None
+    fb = None
+    for cand in (768, 512, 384, 256, 128):
+        if F % cand == 0 and 3 * 2 * E * cand * 2 <= budget - 2 * HD * eb * 2:
+            fb = cand
+            break
+    if fb is None:
+        return None
+    return eb, fb
+
+
 def fused_vmem_ok(cfg, batch: int) -> bool:
     """Can the fused out+MLP kernel fit VMEM at this (config, batch)?
 
-    Mirrors :func:`fused_out_mlp_stacked`'s block chooser with its minimum
-    128-wide blocks; the engine's auto-enable consults this so oversized
-    models (e.g. qwen3-32b at batch 64) fall back to the XLA layer chain
-    instead of failing Mosaic allocation."""
+    Delegates to :func:`_out_mlp_blocks` — the exact chooser
+    :func:`fused_out_mlp_stacked` runs — so the engine's auto-enable falls
+    back to the XLA layer chain for configs whose minimum blocks exceed the
+    budget (e.g. qwen3-14b at batch 64) instead of failing Mosaic
+    allocation at warmup."""
     E, F = cfg.hidden, cfg.intermediate
     HD = cfg.n_heads * cfg.head_dim
-    act = batch * (HD * 2 + E * 2 * 4 + E * 4)
-    return act + 2 * HD * 128 * 2 + 3 * 2 * E * 128 * 2 <= 15 * 2**20
+    return _out_mlp_blocks(E, F, HD, batch) is not None
 
 
 def _rms_norm_f32(x, w, eps):
@@ -375,24 +403,16 @@ def fused_out_mlp_stacked(attn_out: jax.Array, x: jax.Array,
     HD = attn_out.shape[1]
     L, _, F2 = gateup_all.shape
     F = F2 // 2
-    # VMEM budget both ways: resident activations (a/x/out/x2/xn bf16 +
-    # acc f32) plus the double-buffered wo slab and the three
-    # double-buffered gate/up/down slabs must fit ~13MB. Grow blocks for
-    # fewer grid steps, shrink them for big models (qwen3-8b: E=4096,
-    # F=12288 would blow VMEM at fb=256 otherwise).
-    act_bytes = B * (HD * 2 + E * 2 * 4 + E * 4)
-    budget = 13 * 2**20 - act_bytes
-    eb = 128
-    for cand in (512, 384, 256, 128):
-        if E % cand == 0 and 2 * HD * cand * 2 <= max(budget // 4, 1):
-            eb = cand
-            break
-    fb = 128
-    for cand in (768, 512, 384, 256, 128):
-        if F % cand == 0 and (3 * 2 * E * cand * 2
-                              <= budget - 2 * HD * eb * 2):
-            fb = cand
-            break
+    # VMEM budget both ways (see _out_mlp_blocks): grow blocks for fewer
+    # grid steps, shrink them for big models (qwen3-8b: E=4096, F=12288
+    # would blow VMEM at fb=256 otherwise). A config the chooser cannot fit
+    # must be rejected up front via fused_vmem_ok, never run oversized.
+    choice = _out_mlp_blocks(E, F, HD, B)
+    if choice is None:
+        raise ValueError(
+            f"fused_out_mlp_stacked cannot fit VMEM at E={E} F={F} HD={HD} "
+            f"batch={B}; gate callers on fused_vmem_ok()")
+    eb, fb = choice
     n_wo = E // eb
     n_f = F // fb
     grid = n_wo + 1 + n_f

@@ -269,3 +269,36 @@ def test_stacked_kernels_tpu_geometry():
     np.testing.assert_allclose(np.asarray(out, np.float32),
                                np.asarray(ref, np.float32),
                                rtol=0.05, atol=0.02)
+
+
+def test_vmem_gate_matches_block_chooser():
+    """fused_vmem_ok must reject exactly the configs _out_mlp_blocks cannot
+    fit (ADVICE r2: the old 15MB heuristic admitted qwen3-14b-class shapes
+    whose minimum blocks exceed the chooser's 13MB budget)."""
+    from types import SimpleNamespace
+
+    from deepsearch_tts_tpu.ops.fused_layer import _out_mlp_blocks, fused_vmem_ok
+
+    small = SimpleNamespace(hidden=2048, intermediate=8960, n_heads=16,
+                            head_dim=128)
+    assert fused_vmem_ok(small, 64)
+    assert _out_mlp_blocks(2048, 8960, 16 * 128, 64) is not None
+
+    # qwen3-14b-class: E=5120, HD=5120, F=17408 at batch 64 — under the old
+    # gate this passed (~15.07MB <= 15MB) yet no block candidate fit 13MB
+    big = SimpleNamespace(hidden=5120, intermediate=17408, n_heads=40,
+                          head_dim=128)
+    blocks = _out_mlp_blocks(5120, 17408, 40 * 128, 64)
+    assert fused_vmem_ok(big, 64) == (blocks is not None)
+    if blocks is None:
+        with pytest.raises(ValueError, match="fused_vmem_ok"):
+            from deepsearch_tts_tpu.ops.fused_layer import fused_out_mlp_stacked
+
+            fused_out_mlp_stacked(
+                jnp.zeros((64, 5120), jnp.bfloat16),
+                jnp.zeros((64, 5120), jnp.bfloat16),
+                jnp.zeros((2, 5120, 5120), jnp.bfloat16),
+                jnp.zeros((2, 5120), jnp.bfloat16),
+                jnp.zeros((2, 5120, 2 * 17408), jnp.bfloat16),
+                jnp.zeros((2, 17408, 5120), jnp.bfloat16),
+                jnp.int32(0), interpret=True)
