@@ -144,3 +144,211 @@ def codegen_metrics(problems: list[dict], samples_per_problem: list[list[str]],
         out[f"pass@{k}"] = sum(vals) / len(vals) if vals else 0.0
     out["per_problem"] = per_problem
     return out
+
+
+# --------------------------------------------------------------------------
+# Code-execution scenario: predict a program's output
+# (reference: scripts/lcb_runner/evaluation/compute_code_execution_metrics.py,
+# utils/extraction_utils.py:49-59)
+# --------------------------------------------------------------------------
+
+# Common competitive-programming imports made available to the checked
+# assertion, mirroring the reference's BASE_IMPORTS preamble
+# (evaluation/utils_execute.py:28-57) — the predicted/expected literals may
+# spell values like ``inf`` or ``Counter({...})``.
+_EXEC_PREAMBLE = """import collections, itertools, functools, math, string, re
+import heapq, bisect, copy, random, operator
+from collections import defaultdict, deque, Counter, OrderedDict
+from itertools import accumulate, chain, combinations, permutations, product, groupby, islice, repeat, zip_longest, cycle
+from functools import reduce, cache, lru_cache, partial
+from math import floor, ceil, sqrt, isqrt, gcd, comb, inf, log, log2, log10, prod
+from bisect import bisect, bisect_left, bisect_right, insort
+from heapq import heappush, heappop, heapify, merge
+from string import ascii_lowercase
+from typing import List, Tuple, Dict, Set, Optional, Union, Any, Callable, Iterable, Iterator, Generator
+try:
+    import numpy as np
+except ImportError:
+    pass
+"""
+
+
+def extract_execution_answer(text: str, cot: bool = False) -> str:
+    """Pull the predicted output literal out of a code-execution response.
+
+    Same ladder as the reference (extraction_utils.py:49-59): take what
+    follows ``[ANSWER]`` (cot mode), then what follows ``==``, then cut at
+    ``[/ANSWER]`` — or, absent the closing tag, the first line.
+    """
+    if cot and "[ANSWER]" in text:
+        text = text.split("[ANSWER]")[1].strip()
+    if "==" in text:
+        text = text.split("==")[1].strip()
+    if "[/ANSWER]" in text:
+        text = text.split("[/ANSWER]")[0].strip()
+    else:
+        text = text.split("\n")[0].strip()
+    return text.strip()
+
+
+def _assert_worker(snippet: str, q) -> None:
+    try:
+        exec(snippet, {"__name__": "__main__"})  # noqa: S102 — sandboxed
+        q.put(True)
+    except BaseException:
+        q.put(False)
+
+
+def _run_assertion(snippet: str, timeout: float) -> bool:
+    """Execute a self-checking snippet in a child process; True iff it exits
+    cleanly within the timeout."""
+    ctx = mp.get_context("fork")
+    q = ctx.Queue()
+    p = ctx.Process(target=_assert_worker, args=(snippet, q))
+    p.start()
+    p.join(timeout)
+    if p.is_alive():
+        p.terminate()
+        p.join()
+        return False
+    try:
+        return bool(q.get_nowait())
+    except Exception:
+        return False
+
+
+def code_execution_metrics(problems: list[dict],
+                           samples_per_problem: list[list[str]],
+                           timeout: float = 3.0) -> dict:
+    """pass@1 for output prediction: each sample is an extracted literal;
+    correct iff ``assert {expected} == {sample}`` holds when executed with
+    the problem's code in scope.
+
+    Reference semantics (compute_code_execution_metrics.py:7-22): a sample
+    that still contains the raw input expression is discarded (the model
+    echoed the question instead of answering); a problem whose samples are
+    all discarded scores 0. pass@1 is reported as a fraction (the reference
+    multiplies by 100).
+    """
+    per_problem = []
+    for prob, samples in zip(problems, samples_per_problem):
+        graded = []
+        for pred in samples:
+            if not pred or prob["input"] in pred:
+                continue
+            snippet = (f"{_EXEC_PREAMBLE}\n{prob['code']}\n"
+                       f"assert {prob['answer']} == {pred}")
+            graded.append(_run_assertion(snippet, timeout))
+        if not graded:
+            graded = [False] * max(len(samples), 1)
+        per_problem.append({"n": len(graded), "correct": graded.count(True),
+                            "graded": graded})
+    vals = [pass_at_k(p["n"], p["correct"], 1) for p in per_problem]
+    return {"pass@1": sum(vals) / len(vals) if vals else 0.0,
+            "per_problem": per_problem}
+
+
+# --------------------------------------------------------------------------
+# Test-output-prediction scenario
+# (reference: evaluation/compute_test_output_prediction_metrics.py,
+# extraction_utils.py:19-46)
+# --------------------------------------------------------------------------
+
+
+def extract_test_output_answer(text: str) -> str:
+    """Last ``assert`` line of the response; else the first fenced code
+    block (preferring a ```python fence as its start)."""
+    lines = text.split("\n")
+    asserts = [i for i, ln in enumerate(lines) if ln.startswith("assert")]
+    if asserts:
+        return lines[asserts[-1]]
+    py_fences = [i for i, ln in enumerate(lines)
+                 if "```python" in ln or "```Python" in ln]
+    fences = [i for i, ln in enumerate(lines) if "```" in ln]
+    if py_fences:
+        start = py_fences[0]
+        fences = [start] + [i for i in fences if i > start]
+    if len(fences) < 2:
+        return ""
+    return "\n".join(lines[fences[0] + 1:fences[1]])
+
+
+def _assert_rhs(statement: str) -> str | None:
+    """The right side of ``assert lhs == rhs`` as source text, via ast."""
+    import ast
+
+    try:
+        parsed = ast.parse(statement, mode="exec")
+    except SyntaxError:
+        return None
+    if not parsed.body or not isinstance(parsed.body[0], ast.Assert):
+        return None
+    cmp = parsed.body[0].test
+    if not isinstance(cmp, ast.Compare) or not isinstance(cmp.ops[0], ast.Eq):
+        return None
+    return ast.get_source_segment(statement, cmp.comparators[0])
+
+
+def check_testcase_output(pred: str, expected_json: str,
+                          timeout: float = 3.0) -> bool:
+    """Does the predicted assert's RHS equal the expected JSON value?
+
+    Mirrors the reference decision ladder
+    (compute_test_output_prediction_metrics.py:39-74): multi-line
+    predictions are reduced to their first non-comment ``assert`` line; the
+    RHS is parsed out with ast; the literal is evaluated and compared
+    against ``json.loads(expected)``. Unlike the reference's bare in-process
+    ``eval``, non-literal predictions are evaluated in a sandboxed child
+    process (model output is untrusted).
+    """
+    import ast
+    import json
+
+    if len(pred.splitlines()) > 1:
+        for line in pred.splitlines():
+            if line.startswith("#"):
+                continue
+            if "assert" in line:
+                pred = line
+                break
+    pred = pred.strip()
+    if "assert" in pred:
+        value_src = _assert_rhs(pred)
+        if value_src is None:
+            return False
+    else:
+        value_src = pred
+    try:
+        expected = json.loads(expected_json)
+    except (json.JSONDecodeError, ValueError):
+        return False
+    try:
+        value = ast.literal_eval(value_src)
+        return value == expected
+    except (ValueError, SyntaxError, MemoryError, TypeError):
+        pass
+    # non-literal RHS (e.g. tuple arithmetic): sandboxed equality check
+    snippet = (f"import json\nexpected = json.loads({expected_json!r})\n"
+               f"assert ({value_src}) == expected")
+    return _run_assertion(snippet, timeout)
+
+
+def test_output_metrics(problems: list[dict],
+                        samples_per_problem: list[list[str]],
+                        k_list: tuple[int, ...] = (1,),
+                        timeout: float = 3.0) -> dict:
+    """pass@k over predicted test outputs; ``problems[i]['answer']`` is the
+    expected output as JSON text."""
+    per_problem = []
+    for prob, samples in zip(problems, samples_per_problem):
+        graded = [check_testcase_output(pred, prob["answer"], timeout=timeout)
+                  for pred in samples]
+        per_problem.append({"n": len(graded), "correct": graded.count(True),
+                            "graded": graded})
+    out = {}
+    for k in k_list:
+        vals = [pass_at_k(p["n"], p["correct"], k) for p in per_problem
+                if p["n"] >= k]
+        out[f"pass@{k}"] = sum(vals) / len(vals) if vals else 0.0
+    out["per_problem"] = per_problem
+    return out

@@ -197,7 +197,11 @@ class TestOutputPredictionProblem:
         self.test = [t if isinstance(t, Test) else Test(**t) for t in self.test]
 
     def to_row(self) -> dict:
-        t = self.test[self.test_id] if self.test_id < len(self.test) else self.test[0]
+        # the dataset emits one record per (question, test_id) with that
+        # test first in `test`; the reference prompts and scores test[0]
+        # (prompts/test_output_prediction.py:162, benchmarks/
+        # test_output_prediction.py:55-58), not test[test_id]
+        t = self.test[0]
         return {
             "id": f"{self.question_id}_{self.test_id}",
             "question_content": self.question_content,
@@ -259,3 +263,9 @@ def load_problems(path: str, scenario: Scenario | str = Scenario.codegeneration,
 def load_code_generation_rows(path: str, limit: int | None = None) -> list[dict]:
     """Problems → harness rows (the shape cli/lcb_run.py consumes)."""
     return [p.to_row() for p in load_problems(path, Scenario.codegeneration, limit)]
+
+
+def load_scenario_rows(path: str, scenario: Scenario | str,
+                       limit: int | None = None) -> list[dict]:
+    """Any scenario's problems → harness rows."""
+    return [p.to_row() for p in load_problems(path, scenario, limit)]
