@@ -260,6 +260,242 @@ Problem: {question}
 """
 
 
+def _search_o1_instruction(example: str, max_search_limit: int,
+                           opening: str | None = None,
+                           closing: str = "") -> str:
+    """Search-o1-style in-band system prompt skeleton (reference:
+    prompts.py:169-345 — six task-family variants sharing one frame).
+    Contract: the search tokens, the search-budget sentence, and an
+    example exchange showing one in-band search."""
+    opening = opening or ("You are a reasoning assistant with the ability to "
+                          "perform web searches to help you answer the "
+                          "user's question accurately.")
+    return (
+        f"{opening} You have special tools:\n\n"
+        f"- To perform a search: write {BEGIN_SEARCH_QUERY} your query here {END_SEARCH_QUERY}.\n"
+        "The system will then search, analyze relevant web pages, and hand you "
+        f"the useful content in the format {BEGIN_SEARCH_RESULT} ...search results... {END_SEARCH_RESULT}.\n\n"
+        "You can repeat the search process multiple times if necessary. "
+        f"The maximum number of search attempts is limited to {max_search_limit}.\n\n"
+        "Once you have all the information you need, continue your reasoning.\n\n"
+        f"Example:\n{example}\n"
+        "(System returns processed information from relevant web pages)\n\n"
+        "Assistant continues reasoning with the new information...\n\n"
+        "Remember:\n"
+        f"- Use {BEGIN_SEARCH_QUERY} to request a web search and end with {END_SEARCH_QUERY}.\n"
+        "- When done searching, continue your reasoning.\n"
+        f"{closing}\n"
+    )
+
+
+def get_singleqa_search_o1_instruction(max_search_limit: int) -> str:
+    example = (
+        'Question: "Which lab announced the first room-temperature '
+        'superconductor claim of 2023?"\n'
+        "Assistant thinking steps:\n"
+        "- I should look up 2023 room-temperature superconductor announcements.\n\n"
+        "Assistant:\n"
+        f"{BEGIN_SEARCH_QUERY}room temperature superconductor 2023 "
+        f"announcement{END_SEARCH_QUERY}\n")
+    return _search_o1_instruction(example, max_search_limit)
+
+
+def get_multiqa_search_o1_instruction(max_search_limit: int) -> str:
+    example = (
+        'Question: "The composer of the Interstellar soundtrack founded '
+        'which remote-scoring company?"\n'
+        "Assistant thinking steps:\n"
+        "- First I need the composer of the Interstellar soundtrack.\n"
+        "- Then I need the company that composer founded.\n\n"
+        "Assistant:\n"
+        f"{BEGIN_SEARCH_QUERY}Interstellar soundtrack composer{END_SEARCH_QUERY}\n\n"
+        "(System returns processed information from relevant web pages)\n\n"
+        "Assistant thinks: the results name the composer; now find the "
+        "company they founded.\n\n"
+        "Assistant:\n"
+        f"{BEGIN_SEARCH_QUERY}company founded by Interstellar composer{END_SEARCH_QUERY}\n")
+    return _search_o1_instruction(example, max_search_limit)
+
+
+def get_gpqa_search_o1_instruction(max_search_limit: int) -> str:
+    example = (
+        'Question: "What is the energy range of pp III neutrinos?"\n'
+        "Assistant thinking steps:\n"
+        "- I might need to look up details about pp III neutrinos.\n\n"
+        "Assistant:\n"
+        f"{BEGIN_SEARCH_QUERY}pp III neutrino energy spectrum{END_SEARCH_QUERY}\n")
+    return _search_o1_instruction(example, max_search_limit)
+
+
+def get_math_search_o1_instruction(max_search_limit: int) -> str:
+    example = (
+        'Question: "How do you compute the integral of e^(x^2) dx?"\n'
+        "Assistant thinking steps:\n"
+        "- I might need to look up techniques for integrating e^(x^2).\n\n"
+        "Assistant:\n"
+        f"{BEGIN_SEARCH_QUERY}methods to integrate e^(x^2){END_SEARCH_QUERY}\n")
+    return _search_o1_instruction(example, max_search_limit)
+
+
+def get_code_search_o1_instruction(max_search_limit: int) -> str:
+    example = (
+        'Question: "Find the minimum number of vertices in a Steiner tree '
+        'that includes all specified vertices in a given tree."\n'
+        "Assistant thinking steps:\n"
+        "- I need to understand the Steiner tree problem on trees before "
+        "coding a solution.\n\n"
+        "Assistant:\n"
+        f"{BEGIN_SEARCH_QUERY}Minimum Steiner Tree problem in trees{END_SEARCH_QUERY}\n")
+    return _search_o1_instruction(example, max_search_limit)
+
+
+def get_timeline_search_o1_instruction(max_search_limit: int) -> str:
+    example = (
+        'Text: "Create a timeline of key events in the Apollo 11 mission."\n'
+        "Assistant thinking steps:\n"
+        "- I need key dates and events of the Apollo 11 mission.\n\n"
+        "Assistant:\n"
+        f"{BEGIN_SEARCH_QUERY}Apollo 11 mission timeline key events dates{END_SEARCH_QUERY}\n")
+    return _search_o1_instruction(
+        example, max_search_limit,
+        opening=("You are a reasoning assistant with the ability to perform "
+                 "web searches to help you create an accurate chronological "
+                 "timeline summary."),
+        closing=("- You should perform as many searches as possible to "
+                 "gather comprehensive information.\n"))
+
+
+def get_task_instruction_multi_choice(question: str,
+                                      model_name: str | None = None) -> str:
+    """Multiple-choice task wrapper with per-model answer formats
+    (reference: prompts.py:563-585 — qwq/dpsk/llama variants). Contract:
+    \\boxed{YOUR_CHOICE}, except dpsk's **ANSWER: {...}** marker (both are
+    what evaluate/extract.py keys on)."""
+    if model_name == "dpsk":
+        return ("Please answer the following multiple-choice question.\n\n"
+                "Provide your final choice in the format "
+                "**ANSWER: {YOUR_CHOICE}**.\n\n"
+                f"Question:\n{question}\n\n")
+    if model_name == "llama":
+        return ("Please answer the following multiple-choice question. You "
+                "should think step by step to solve it.\n\n"
+                "Provide your final choice in the format "
+                "\\boxed{YOUR_CHOICE}. Your final choice should be one of "
+                "the letters A, B, C, or D, DO NOT include any answer "
+                "content.\n\n"
+                f"Question:\n{question}\n\n")
+    steps = "" if model_name == "qwq" else \
+        " You should think step by step to solve it.\n"
+    return ("Please answer the following multiple-choice question."
+            f"{steps}\n"
+            "Provide your final choice in the format \\boxed{YOUR_CHOICE}.\n\n"
+            f"Question:\n{question}\n\n")
+
+
+def _web_verifier_frame(body: str, question: str, predicted_answer: str,
+                        spaced_tokens: bool = True) -> str:
+    sq = (f"{BEGIN_SEARCH_QUERY} your query here {END_SEARCH_QUERY}"
+          if spaced_tokens else
+          f"{BEGIN_SEARCH_QUERY}your query here{END_SEARCH_QUERY}")
+    return f"""You are a reasoning assistant with web search at your disposal, fact-checking whether a predicted answer to the user's question is correct. You have special tools:
+
+- To perform a search, write:
+  {sq}
+
+- The system will return results in the format:
+  {BEGIN_SEARCH_RESULT} ...search results... {END_SEARCH_RESULT}
+
+You may search multiple times if necessary to gather enough evidence.
+
+{body}
+
+Question:
+{question}
+Predicted Answer:
+{predicted_answer}
+"""
+
+
+def get_web_verifier_instruction(question: str, predicted_answer: str) -> str:
+    """In-band (search-o1-style) verifier, base version (reference:
+    prompts.py:356-381). Contract: confidence in \\boxed{}."""
+    body = ("Verify the predicted answer below and provide a confidence "
+            "score between 0 and 1 — the probability that it is correct. "
+            "Think step by step as you verify; when done searching, continue "
+            "your reasoning.\n\n"
+            "Provide your final confidence in the format \\boxed{}.")
+    return _web_verifier_frame(body, question, predicted_answer,
+                               spaced_tokens=False)
+
+
+def get_web_verifier_instructionv1(question: str, predicted_answer: str) -> str:
+    """v1: workflow emphasis, holistic confidence (reference:
+    prompts.py:384-412)."""
+    body = """**Please follow this workflow:**
+1. Read the user's question and the predicted answer.
+2. If the answer contains any uncertain, factual, or verifiable elements, perform a web search.
+3. Analyze the returned search results to determine whether the answer is correct.
+4. Continue reasoning using the verified information.
+
+Your goal is a **final confidence score between 0 and 1** reflecting how likely the predicted answer is to be correct given what you found.
+
+Use the format:
+\\boxed{<confidence_score>}"""
+    return _web_verifier_frame(body, question, predicted_answer)
+
+
+def get_web_verifier_instructionv2(question: str, predicted_answer: str) -> str:
+    """v2: enumerate conditions; confidence = satisfied/total (reference:
+    prompts.py:415-446)."""
+    body = """**Verification Process:**
+1. Analyze the question and identify every explicit or implicit condition a correct answer must satisfy.
+2. List these required conditions clearly.
+3. Check whether the predicted answer satisfies **each condition**.
+4. Use web searches to gather evidence for the uncertain parts.
+5. Score by the fraction of conditions the predicted answer satisfies:
+   - all conditions satisfied → confidence = 1.
+   - some satisfied → confidence = (satisfied conditions / total conditions).
+   - none satisfied → confidence = 0.
+
+Give a reasoned, evidence-backed assessment, then return your final confidence score using the format:
+\\boxed{<confidence_score>}"""
+    return _web_verifier_frame(body, question, predicted_answer)
+
+
+def get_web_verifier_instructionv3(question: str, predicted_answer: str) -> str:
+    """v3: per-condition search-backed checks, justified (reference:
+    prompts.py:448-487)."""
+    body = """**Verification Procedure:**
+
+1. **Read the question carefully** and identify **all explicit and implicit conditions** a correct answer must satisfy.
+2. **List each condition** clearly.
+3. For each condition, **check whether the predicted answer satisfies it**, using **web searches to support your verification**.
+4. Count the satisfied conditions.
+5. Confidence = fraction of conditions met:
+   - **all** met → 1; **some** met → (satisfied conditions / total conditions); **none** met → 0.
+
+You must justify your reasoning with evidence from the searches. Return your final confidence score using the format:
+\\boxed{<confidence_score>}"""
+    return _web_verifier_frame(body, question, predicted_answer)
+
+
+def get_web_verifier_instructionv4(question: str, predicted_answer: str) -> str:
+    """v4: only conditions with explicit search evidence count (reference:
+    prompts.py:490-525)."""
+    body = """**Verification Process:**
+1. Analyze the question and identify every explicit or implicit condition a correct answer must satisfy.
+2. List these required conditions clearly.
+3. For **each condition**, run web searches and verify the predicted answer against it, citing explicit evidence from the results.
+4. Score by how many conditions have clear search-backed evidence:
+   - all conditions evidenced → confidence = 1.
+   - some evidenced → confidence = (conditions with evidence / total conditions).
+   - none evidenced → confidence = 0.
+
+Give a reasoned, evidence-backed assessment, then return your final confidence score using the format:
+\\boxed{<confidence_score>}"""
+    return _web_verifier_frame(body, question, predicted_answer)
+
+
 def get_gpqa_web_thinker_instruction(max_search_limit: int = 15) -> str:
     """GPQA-specialized web-thinker task header
     (reference: prompts.py:2-28)."""

@@ -7,6 +7,150 @@ the artifact contracts (markdown sections, JSON plan) are kept.
 """
 from __future__ import annotations
 
+from .qa import (
+    BEGIN_SEARCH_QUERY,
+    BEGIN_SEARCH_RESULT,
+    END_SEARCH_QUERY,
+    END_SEARCH_RESULT,
+)
+
+# report-mode in-band control tokens (reference: prompts_report.py:2-66; the
+# WebThinker loop splices system output back at these markers)
+BEGIN_WRITE_SECTION = "<|begin_write_section|>"
+END_WRITE_SECTION = "<|end_write_section|>"
+BEGIN_CHECK_ARTICLE = "<|begin_check_article|>"
+END_CHECK_ARTICLE = "<|end_check_article|>"
+BEGIN_EDIT_ARTICLE = "<|begin_edit_article|>"
+END_EDIT_ARTICLE = "<|end_edit_article|>"
+
+REPORT_DONE_PHRASE = "I have finished my work."
+
+
+def get_report_webthinker_instruction(question: str, plan: str) -> str:
+    """Main report-mode agent prompt: research with in-band searches, then
+    drive section writing / article checking / editing through the four
+    token families (reference: prompts_report.py:2-66). Contracts: all six
+    token pairs, and the literal stop phrase ``I have finished my work.``"""
+    return f"""You are a research assistant who writes a scientific research article with the help of web searches. You have special tools:
+
+- To perform a search: write {BEGIN_SEARCH_QUERY} your query here {END_SEARCH_QUERY}.
+The system searches, analyzes the relevant web pages, and hands the useful content back between {BEGIN_SEARCH_RESULT} and {END_SEARCH_RESULT}.
+
+- To write a section of the article: write {BEGIN_WRITE_SECTION}section name
+contents to write{END_WRITE_SECTION}. The system writes that section in full from your request and the information gathered so far.
+
+- To check the current article: write {BEGIN_CHECK_ARTICLE}system returns outline of all current written contents{END_CHECK_ARTICLE}.
+
+- To edit the article: write {BEGIN_EDIT_ARTICLE}your detailed edit goal and instruction{END_EDIT_ARTICLE}. The system applies the edit using your instruction and the gathered information.
+
+Your task is to research and write a scientific article about:
+{question}
+
+Here is a research plan to guide your investigation:
+{plan}
+
+Follow the plan step by step:
+1. Search the web for detailed information on each point.
+2. After each search, decide what is still missing.
+3. When a section's material is sufficient, request that section be written.
+4. Repeat until the whole article exists.
+5. Check the article and edit sections where clarity or completeness is lacking.
+
+Example:
+{BEGIN_SEARCH_QUERY}first search query{END_SEARCH_QUERY}
+
+{BEGIN_SEARCH_RESULT}Summary of information from searched web pages{END_SEARCH_RESULT}
+
+From these results I understand X but still need Y...
+
+{BEGIN_SEARCH_QUERY}follow-up query focusing on Y{END_SEARCH_QUERY}
+
+{BEGIN_SEARCH_RESULT}Summary of information from searched web pages{END_SEARCH_RESULT}
+
+Now I can write the first section...
+
+{BEGIN_WRITE_SECTION}Introduction
+This section should introduce ... {END_WRITE_SECTION}
+
+With the introduction written, I gather material for the next section ...
+
+{BEGIN_CHECK_ARTICLE}System returns outline of current written article{END_CHECK_ARTICLE}
+
+I notice a gap to fix ...
+
+{BEGIN_EDIT_ARTICLE}your edit instruction{END_EDIT_ARTICLE}
+
+...and so on until the article is complete.
+
+Remember:
+- Use {BEGIN_SEARCH_QUERY}query{END_SEARCH_QUERY} to get information from web searches.
+- Use {BEGIN_WRITE_SECTION}section name
+contents to write{END_WRITE_SECTION} to have the system write a section.
+- Use {BEGIN_CHECK_ARTICLE}outline of current article{END_CHECK_ARTICLE} to check the current article.
+- Use {BEGIN_EDIT_ARTICLE}edit instruction{END_EDIT_ARTICLE} to have the system edit and improve the article.
+- Strictly follow the above format when calling the functions.
+- Do not propose methods or design experiments; your task is comprehensive web research.
+- Do not omit any key points from the article.
+- When the article is complete, output "{REPORT_DONE_PHRASE}" and stop.
+
+Now begin your research and write the article about:
+{question}
+"""
+
+
+def get_search_plan_instruction(query: str) -> str:
+    """Numbered research plan, the report loop's seed (reference:
+    prompts_report.py:72-89). Contract: numbered ``(1) ...`` steps, at most
+    8, no extra words."""
+    return f"""Help me lay out a detailed plan for researching the following question over the web:
+{query}
+
+The aim is to gather all the information needed to thoroughly address the question.
+Note:
+- No need to mention citations or references.
+- Do not propose methods or design experiments; the task is web research only.
+- Be comprehensive — leave out nothing relevant.
+- No more than 8 steps.
+
+Output the plan as numbered steps like:
+(1) ...
+(2) ...
+etc.
+
+Directly output the plan, do not include any other words."""
+
+
+def get_section_summary_instruction(section: str) -> str:
+    """Per-paragraph compression used when assembling the article outline
+    (reference: prompts_report.py:196-199)."""
+    return f"""Provide an extremely concise summary of each paragraph or subsection in the following section:
+{section}
+"""
+
+
+def get_edit_article_instruction(edit_instruction: str, article: str) -> str:
+    """Whole-article edit (reference: prompts_report.py:202-224). Contract:
+    the COMPLETE modified article inside a ```markdown block."""
+    return f"""You are a professional article editor. Apply the edit instruction below to the article.
+
+Edit instruction:
+{edit_instruction}
+
+Current article:
+{article}
+
+Output the complete modified article with every requested change applied.
+
+Note:
+- Keep all original content that needs no modification (output the entire article, not just the changed parts).
+- Make every edit the instruction asks for.
+- Output format:
+```markdown
+...
+```
+
+Provide the complete modified article in markdown format."""
+
 
 def get_report_plan_instruction(question: str) -> str:
     return f"""Draft an outline for a research report that answers the question below. Return a JSON object of the form {{"title": ..., "sections": [{{"name": ..., "goal": ...}}, ...]}} with 4-8 sections, ordered logically from background to conclusion.

@@ -105,4 +105,4 @@ def test_few_shot_prompt():
     p = build_few_shot_prompt("What is 2+2?", "math", n_shots=2)
     assert p.count("Question:") == 3
     assert p.rstrip().endswith("Solution:")
-    assert "\\boxed{25}" in p
+    assert "\\boxed{" in p  # worked shots end in boxed answers

@@ -82,3 +82,107 @@ def test_prompt_variant_breadth_contracts():
 
     rag = P.get_naive_rag_instruction("q?", "docs")
     assert "q?" in rag and "docs" in rag
+
+
+def test_search_o1_family_contracts():
+    """Six task-family search-o1 headers (reference: prompts.py:169-345):
+    tokens, budget sentence, example exchange."""
+    fns = (P.get_singleqa_search_o1_instruction,
+           P.get_multiqa_search_o1_instruction,
+           P.get_gpqa_search_o1_instruction,
+           P.get_math_search_o1_instruction,
+           P.get_code_search_o1_instruction,
+           P.get_timeline_search_o1_instruction)
+    for fn in fns:
+        s = fn(9)
+        assert P.BEGIN_SEARCH_QUERY in s and P.END_SEARCH_QUERY in s
+        assert P.BEGIN_SEARCH_RESULT in s and P.END_SEARCH_RESULT in s
+        assert "Example:" in s
+        if fn is not P.get_timeline_search_o1_instruction:
+            assert "limited to 9" in s
+    # multiqa demonstrates two chained searches; timeline pushes for many
+    assert P.get_multiqa_search_o1_instruction(9).count(P.BEGIN_SEARCH_QUERY) >= 3
+    assert "as many searches as possible" in P.get_timeline_search_o1_instruction(9)
+
+
+def test_task_instruction_multi_choice_model_formats():
+    """Per-model answer formats (reference: prompts.py:563-585)."""
+    s = P.get_task_instruction_multi_choice("Pick one", model_name="qwq")
+    assert "\\boxed{YOUR_CHOICE}" in s and "Pick one" in s
+    assert "step by step" not in s
+    d = P.get_task_instruction_multi_choice("Pick one", model_name="dpsk")
+    assert "**ANSWER: {YOUR_CHOICE}**" in d
+    ll = P.get_task_instruction_multi_choice("Pick one", model_name="llama")
+    assert "A, B, C, or D" in ll
+    default = P.get_task_instruction_multi_choice("Pick one")
+    assert "step by step" in default and "\\boxed{YOUR_CHOICE}" in default
+
+
+def test_web_verifier_inband_versions():
+    """In-band verifier ablation set (reference: prompts.py:356-525)."""
+    fns = (P.get_web_verifier_instruction, P.get_web_verifier_instructionv1,
+           P.get_web_verifier_instructionv2, P.get_web_verifier_instructionv3,
+           P.get_web_verifier_instructionv4)
+    for fn in fns:
+        s = fn("Q text?", "A text!")
+        assert P.BEGIN_SEARCH_QUERY in s and P.BEGIN_SEARCH_RESULT in s
+        assert "Q text?" in s and "A text!" in s
+        assert "\\boxed{" in s and "confidence" in s.lower()
+    # v2-v4 use the condition-fraction rubric; v4 demands explicit evidence
+    for fn in fns[2:]:
+        assert "total conditions" in fn("q", "a")
+    assert "evidence" in P.get_web_verifier_instructionv4("q", "a")
+
+
+def test_report_webthinker_and_helpers():
+    """Report-mode in-band tokens + stop phrase + helper contracts
+    (reference: prompts_report.py:2-224)."""
+    s = RP.get_report_webthinker_instruction("topic", "(1) step")
+    for tok in (RP.BEGIN_WRITE_SECTION, RP.END_WRITE_SECTION,
+                RP.BEGIN_CHECK_ARTICLE, RP.END_CHECK_ARTICLE,
+                RP.BEGIN_EDIT_ARTICLE, RP.END_EDIT_ARTICLE):
+        assert tok in s
+    assert RP.REPORT_DONE_PHRASE in s and "topic" in s and "(1) step" in s
+
+    plan = RP.get_search_plan_instruction("why is the sky blue")
+    assert "(1)" in plan and "8 steps" in plan
+    assert "do not include any other words" in plan
+
+    summ = RP.get_section_summary_instruction("SECTION TEXT")
+    assert "SECTION TEXT" in summ and "concise" in summ
+
+    edit = RP.get_edit_article_instruction("fix intro", "ARTICLE BODY")
+    assert "fix intro" in edit and "ARTICLE BODY" in edit
+    assert "```markdown" in edit and "entire" in edit
+
+
+def test_math_example_banks_match_reference_shot_counts():
+    """Bank breadth parity (reference: qwen_math_eval_toolkit/examples.py)."""
+    from deepsearch_tts_tpu.evaluate.math_examples import (
+        build_few_shot_prompt,
+        get_examples,
+    )
+
+    ex = get_examples()
+    expected = {"gsm8k": 8, "gsm8k-pal": 3, "gsm8k-tora": 3, "math": 5,
+                "math_pal": 4, "math-tora": 5, "carp_en": 8,
+                "minerva_math": 4, "aqua": 4, "sat_math": 4,
+                "mmlu_mathematics": 5, "mmlu_physics": 5,
+                "mmlu_chemistry": 5, "mmlu_biology": 5, "mmlu_computer": 5,
+                "mmlu_stem": 5, "gaokao": 5}
+    for k, n in expected.items():
+        assert len(ex[k]) == n, k
+        for q, sol in ex[k]:
+            assert isinstance(q, str) and isinstance(sol, str) and sol
+    # CoT banks end in boxed answers; PAL banks end in code
+    for k in ("gsm8k", "math", "carp_en", "minerva_math", "aqua",
+              "sat_math", "gaokao"):
+        for _, sol in ex[k]:
+            assert "\\boxed{" in sol, k
+    for _, sol in ex["gsm8k-pal"] + ex["math_pal"]:
+        assert "```python" in sol and "\\boxed" not in sol
+    for _, sol in ex["gsm8k-tora"] + ex["math-tora"]:
+        assert "```output" in sol and "\\boxed{" in sol
+
+    p = build_few_shot_prompt("NEW Q", benchmark="gsm8k")
+    assert p.count("Question:") == 9 and p.rstrip().endswith("Solution:")
