@@ -341,6 +341,11 @@ class Engine:
         self._dev_cache: dict[str, tuple[int, Any]] = {}
         self._queue: "queue.Queue[tuple[GenerationRequest, Future]]" = queue.Queue()
         self._deferred: list[tuple[GenerationRequest, Future]] = []
+        # preempted-sequence continuations keyed by future: generated
+        # tokens + stop/detok state restored at re-admission (vLLM-style
+        # preempt-by-recompute; the freed pages are parked in the prefix
+        # cache so the re-prefill usually reuses them)
+        self._resumes: dict[Future, dict] = {}
         self._aborts: set[str] = set()
         self._wake = threading.Event()
         self._stopping = False
@@ -702,6 +707,7 @@ class Engine:
                     if not fut.done():
                         fut.set_exception(e)
                 self._deferred.clear()
+                self._resumes.clear()
                 while not self._queue.empty():
                     try:
                         item = self._queue.get_nowait()
@@ -796,6 +802,7 @@ class Engine:
                 req, fut = item
             if req.request_id in self._aborts:
                 self._aborts.discard(req.request_id)
+                self._resumes.pop(fut, None)
                 fut.cancel()
                 continue
             try:
@@ -851,6 +858,36 @@ class Engine:
                     self._fail_prepared(p, e)
         return True
 
+    def _preempt_slot(self, s: _Slot) -> None:
+        """Evict an active sequence under page pressure WITHOUT losing work:
+        its generated tokens plus stop/stream state are parked and the
+        request re-enters the admission queue as a continuation (recompute
+        preemption). Full pages are inserted into the prefix cache before
+        release, so the re-prefill normally re-adopts them instead of
+        recomputing."""
+        self.stats["preemptions"] += 1
+        req, fut = s.req, s.future
+        self._resumes[fut] = {
+            "generated": list(s.generated),
+            "stop": s.stop,
+            "detok": s.detok,
+            "orig_prompt": list(s.prompt_tokens),
+        }
+        if self.prefix_cache is not None and self.cache_mode != "slot":
+            full_tokens = list(s.prompt_tokens) + list(s.generated)
+            n_full = int(self.seq_lens[s.idx]) // self.page_size
+            pages = (s.shared_pages + s.pages)[:n_full]
+            if pages:
+                self.prefix_cache.insert(full_tokens, pages)
+        self.allocator.free(s.shared_pages)
+        self.allocator.free(s.pages)
+        self.page_tables[s.idx, :] = (
+            s.idx if self.cache_mode == "slot" else 0)
+        self.seq_lens[s.idx] = 0
+        self._mark_dirty()
+        s.reset()
+        self._deferred.append((req, fut))
+
     def _fail_prepared(self, p: dict, exc: Exception) -> None:
         """Release a prepared-but-unprefilled request after a group failure."""
         slot = p["slot"]
@@ -869,16 +906,24 @@ class Engine:
                          fut: Future) -> dict:
         """Host-side admission: pages, prefix match, slot state. No device
         work — the batched prefill happens in :meth:`_prefill_group`."""
-        prompt = list(req.prompt_ids)
+        resume = self._resumes.pop(fut, None)
+        if resume is not None:
+            # preempted continuation: re-prefill prompt + generated-so-far
+            # (normally a prefix-cache hit on the pages parked at preemption)
+            prompt = resume["orig_prompt"] + resume["generated"]
+            eff_tokens = max(1, req.max_tokens - len(resume["generated"]))
+        else:
+            prompt = list(req.prompt_ids)
+            eff_tokens = req.max_tokens
         if len(prompt) >= self.max_seq_len:
             # keep the prompt tail, reserving room for generation — but never
             # let an oversized max_tokens flip the slice positive and gut the
             # prompt (reference keeps the tail too via context-overflow
             # retry halving, scripts/deep_search.py:376-379)
-            eff_max = max(1, min(req.max_tokens, self.max_seq_len - 1))
+            eff_max = max(1, min(eff_tokens, self.max_seq_len - 1))
             keep = max(1, self.max_seq_len - eff_max - 1)
             prompt = prompt[-keep:]
-        total_budget = min(len(prompt) + req.max_tokens + self.decode_chunk_len,
+        total_budget = min(len(prompt) + eff_tokens + self.decode_chunk_len,
                            self.max_seq_len)
 
         shared: list[int] = []
@@ -893,7 +938,7 @@ class Engine:
             n_new_pages = -(-total_budget // self.page_size) - len(shared)
             if not self._ensure_pages(n_new_pages):
                 # admit with whatever fits beyond the prompt; decode-time
-                # exhaustion preempts with finish_reason=length (SURVEY.md §5
+                # exhaustion preempts by requeue-with-recompute (SURVEY.md §5
                 # failure-handling: degrade, don't crash)
                 min_pages = -(-(len(prompt) + 1) // self.page_size) - len(shared)
                 if self._ensure_pages(min_pages):
@@ -919,6 +964,14 @@ class Engine:
         from .tokenizer import IncrementalDetokenizer
 
         slot.detok = IncrementalDetokenizer(self.tokenizer)
+        if resume is not None:
+            # restore progress: token counts, stop-scanner text, stream
+            # detok state all continue where preemption cut them off
+            slot.prompt_tokens = resume["orig_prompt"]
+            slot.prompt_len = len(resume["orig_prompt"])
+            slot.generated = resume["generated"]
+            slot.stop = resume["stop"]
+            slot.detok = resume["detok"]
 
         b = slot.idx
         if self.cache_mode == "slot":
@@ -931,11 +984,13 @@ class Engine:
                      ("top_p", req.top_p), ("min_p", req.min_p),
                      ("repetition_penalty", req.repetition_penalty)):
             self.samp_host[k][b] = v
-        self.min_tokens[b] = req.min_tokens
+        self.min_tokens[b] = (req.min_tokens if resume is None else
+                              max(0, req.min_tokens - len(slot.generated)))
         self.prompt_lens[b] = len(prompt)
         self._mark_dirty()
         return {"slot": slot, "req": req, "suffix": prompt[cached_len:],
-                "cached_len": cached_len, "prompt": prompt}
+                "cached_len": cached_len, "prompt": prompt,
+                "pre_gen": len(slot.generated)}
 
     @staticmethod
     def _pow2(n: int, cap: int) -> int:
@@ -1015,7 +1070,8 @@ class Engine:
             self._process_chunk(slot, first_np[g : g + 1].astype(np.int64))
             n_prefill += len(p["suffix"])
             self.stats["requests"] += 1
-            if slot.stop.finished or len(prompt) + len(slot.generated) >= self.max_seq_len:
+            new_gen = len(slot.generated) - p.get("pre_gen", 0)
+            if slot.stop.finished or len(prompt) + new_gen >= self.max_seq_len:
                 self._finish_slot(slot)
         self.stats["prefill_tokens"] += n_prefill
         # union of [t0, now] with everything already counted: overlapping
@@ -1087,8 +1143,14 @@ class Engine:
                 if not self._ensure_pages(extra):
                     if carry is not None:
                         return None  # decide preemption after syncing carry
-                    self._finish_slot(s, reason="length")  # out of memory
-                    self.stats["preemptions"] += 1
+                    if sum(1 for x in self.slots if x.active) > 1:
+                        # requeue behind the survivors; their freed pages
+                        # will admit it again with all progress kept
+                        self._preempt_slot(s)
+                    else:
+                        # nothing else will ever free pages — terminate
+                        self._finish_slot(s, reason="length")
+                        self.stats["preemptions"] += 1
                     active[s.idx] = False
                     continue
                 new = self.allocator.alloc(extra)
