@@ -64,9 +64,9 @@ def ring_attention(
 
         # mark accumulators device-varying so both cond branches agree on the
         # manual-axes type inside shard_map
-        m0 = jax.lax.pvary(jnp.full((B, Kh, G, Tq, 1), NEG_INF, jnp.float32), axis)
-        l0 = jax.lax.pvary(jnp.zeros((B, Kh, G, Tq, 1), jnp.float32), axis)
-        a0 = jax.lax.pvary(jnp.zeros((B, Tq, H, Dv), jnp.float32), axis)
+        m0 = jax.lax.pcast(jnp.full((B, Kh, G, Tq, 1), NEG_INF, jnp.float32), axis, to="varying")
+        l0 = jax.lax.pcast(jnp.zeros((B, Kh, G, Tq, 1), jnp.float32), axis, to="varying")
+        a0 = jax.lax.pcast(jnp.zeros((B, Tq, H, Dv), jnp.float32), axis, to="varying")
 
         def body(step, carry):
             m, l, acc, kb, vb = carry
