@@ -176,18 +176,37 @@ class Engine:
         _has_fused = "fused_decode" in inspect.signature(fam.forward).parameters
         if layer_fusion is None:
             # auto: Mosaic lowering needs 128-aligned dims; fusion targets
-            # the TPU single-chip bf16 dense hot path only
+            # TPU single-chip bf16 serving (dense: full layer kernels;
+            # MoE: attention-side kernels + ragged_dot experts)
             from ..utils import is_tpu_backend
 
-            from ..ops.fused_layer import fused_vmem_ok
+            from ..ops.fused_layer import (
+                fused_mlp_vmem_ok,
+                fused_moe_vmem_ok,
+                fused_vmem_ok,
+            )
 
+            c = self.cfg
+            if getattr(c, "latent_cache", False):  # MLA: MLP-side kernels
+                fshared = c.moe_intermediate * c.n_shared_experts
+                fit = (c.dense_intermediate % 128 == 0
+                       and fshared % 128 == 0
+                       and fused_mlp_vmem_ok(c.hidden, c.dense_intermediate,
+                                             max_slots)
+                       and fused_mlp_vmem_ok(c.hidden, fshared, max_slots))
+            elif hasattr(c, "n_experts"):          # MoE: attention-side
+                fit = (c.head_dim % 128 == 0
+                       and fused_moe_vmem_ok(c, max_slots)
+                       and getattr(c, "moe_impl", "") == "ragged")
+            else:                                   # dense: full layer
+                fit = (c.head_dim % 128 == 0
+                       and c.intermediate % 128 == 0
+                       and fused_vmem_ok(c, max_slots))
             layer_fusion = (
                 _has_fused and is_tpu_backend() and mesh is None
                 and quantize is None
-                and self.cfg.head_dim % 128 == 0
-                and self.cfg.hidden % 128 == 0
-                and self.cfg.intermediate % 128 == 0
-                and fused_vmem_ok(self.cfg, max_slots))
+                and c.hidden % 128 == 0
+                and fit)
         self.layer_fusion = bool(layer_fusion)
         if self.layer_fusion:
             # fused decode kernels read the packed wqkv / w_gateup layout and

@@ -287,7 +287,8 @@ def pack_matmul_params(params: dict) -> dict:
         lp["wqkv"] = jnp.concatenate(
             [lp.pop("wq"), lp.pop("wk"), lp.pop("wv")], axis=-1)
     if ("w_gate" in lp and isinstance(lp["w_gate"], jnp.ndarray)
-            and lp["w_gate"].ndim == 3):  # dense MLP only, not expert stacks
+            and lp["w_gate"].ndim in (3, 4)):  # dense [L,E,F] or expert
+        # stacks [L,NE,E,F] — packed gate|up halves the ragged_dot count
         lp["w_gateup"] = jnp.concatenate(
             [lp.pop("w_gate"), lp.pop("w_up")], axis=-1)
     out = dict(params)
@@ -312,7 +313,7 @@ def unpack_matmul_params(params: dict, cfg) -> dict:
         w = lp.pop("w_gateup")
         if isinstance(w, dict):
             raise ValueError("cannot unpack int8-quantized packed weights")
-        F = cfg.intermediate
+        F = w.shape[-1] // 2
         lp["w_gate"], lp["w_up"] = w[..., :F], w[..., F:]
     out = dict(params)
     out["layers"] = lp

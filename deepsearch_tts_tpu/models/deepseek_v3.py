@@ -218,10 +218,8 @@ def route_v3(x, router_w, bias, cfg: DeepSeekV3Config):
     return (w * cfg.routed_scaling_factor).astype(jnp.float32), top_e.astype(jnp.int32)
 
 
-def _moe_v3(cfg: DeepSeekV3Config, lp, h2):
-    """Routed (ragged) + shared experts."""
-    B, T, E = h2.shape
-    x = h2.reshape(B * T, E)
+def _moe_v3_routed(cfg: DeepSeekV3Config, lp, x):
+    """Routed experts only (ragged over sorted assignments); x: [T, E]."""
     w, top_e = route_v3(x, lp["router"], lp["router_bias"], cfg)
 
     S = x.shape[0] * cfg.top_k
@@ -232,8 +230,15 @@ def _moe_v3(cfg: DeepSeekV3Config, lp, h2):
     group_sizes = jnp.bincount(flat_e, length=cfg.n_routed_experts).astype(jnp.int32)
     y_sorted = _expert_ffn_ragged(x_sorted, lp["w_gate"], lp["w_up"], lp["w_down"],
                                   group_sizes)
-    y = y_sorted[inv].reshape(x.shape[0], cfg.top_k, E)
-    routed = jnp.sum(y * w.reshape(-1, cfg.top_k, 1).astype(y.dtype), axis=1)
+    y = y_sorted[inv].reshape(x.shape[0], cfg.top_k, x.shape[1])
+    return jnp.sum(y * w.reshape(-1, cfg.top_k, 1).astype(y.dtype), axis=1)
+
+
+def _moe_v3(cfg: DeepSeekV3Config, lp, h2):
+    """Routed (ragged) + shared experts."""
+    B, T, E = h2.shape
+    x = h2.reshape(B * T, E)
+    routed = _moe_v3_routed(cfg, lp, x)
 
     g = maybe_int8_dot(x, lp["s_gate"])
     u = maybe_int8_dot(x, lp["s_up"])
@@ -303,10 +308,17 @@ def forward(
     fresh_prefill: bool = False,
     ring_mesh=None,
     ring_axis: str = "tp",
+    fused_decode: bool = False,  # T=1: Pallas MLP-side kernels
 ):
     """Same serving/training contract as models/qwen3.forward, except the
     cache is latent-only: rows go into k_pages exclusively and v_pages is
-    threaded through untouched (the engine allocates it as a 1-page dummy)."""
+    threaded through untouched (the engine allocates it as a 1-page dummy).
+
+    ``fused_decode``: the dense-layer MLPs and the MoE layers' shared
+    experts run as one fused Pallas kernel each (ops/fused_layer.
+    fused_mlp_stacked, layer-selected by scalar prefetch). MLA's two-stage
+    latent attention stays on XLA — its ops are large einsums, not the
+    small-op chains the kernels exist to collapse."""
     from ..engine.kvcache import write_rows_flat
 
     serving = k_pages is not None
@@ -321,7 +333,10 @@ def forward(
     if serving and slot_decode:
         page_table = jnp.arange(tokens.shape[0], dtype=jnp.int32)[:, None]
 
-    def make_body(mlp_fn, serving):
+    use_fused = fused_decode and serving and tokens.shape[1] == 1 \
+        and not fresh_prefill
+
+    def make_body(tail_fn, serving):
         def body(carry, lp):
             if serving:
                 x, kpf, layer = carry
@@ -351,13 +366,47 @@ def forward(
                 attn = attn_ops.causal_attention(
                     q_eff, rows, rows[..., :KL], scale=scale, impl="xla")
             x = x + _mla_out(cfg, lp, attn, x.dtype)
-            h2 = rms_norm(x, lp["ln2"], cfg.rms_eps)
-            x = x + mlp_fn(lp, h2)
+            x = tail_fn(lp, x, layer if serving else None)
             return ((x, kpf, layer + 1) if serving else x), None
         return body
 
-    dense_body = make_body(lambda lp, h2: _dense_mlp(lp, h2), serving)
-    moe_body = make_body(lambda lp, h2: _moe_v3(cfg, lp, h2), serving)
+    def plain_tail(mlp_fn):
+        def tail(lp, x, _layer):
+            h2 = rms_norm(x, lp["ln2"], cfg.rms_eps)
+            return x + mlp_fn(lp, h2)
+        return tail
+
+    if use_fused:
+        from ..ops.fused_layer import fused_mlp_stacked
+
+        dstack, mstack = params["dense_layers"], params["moe_layers"]
+
+        def dense_tail(lp, x, layer):
+            # whole ln2+MLP+residual as one kernel; dense layers lead the
+            # stack so the global layer id IS the stack index
+            B = x.shape[0]
+            return fused_mlp_stacked(
+                x[:, 0], dstack["ln2"], dstack["d_gate"], dstack["d_up"],
+                dstack["d_down"], layer, eps=cfg.rms_eps)[:, None, :]
+
+        def moe_tail(lp, x, layer):
+            B, T, E = x.shape
+            h2 = rms_norm(x, lp["ln2"], cfg.rms_eps)
+            h2f = h2.reshape(B * T, E)
+            routed = _moe_v3_routed(cfg, lp, h2f)
+            shared = fused_mlp_stacked(
+                h2f, mstack["ln2"], mstack["s_gate"], mstack["s_up"],
+                mstack["s_down"], layer - LD, eps=cfg.rms_eps,
+                residual=False, norm=False)
+            return x + (routed.astype(x.dtype) + shared).reshape(B, T, E)
+
+        dense_body = make_body(dense_tail, serving)
+        moe_body = make_body(moe_tail, serving)
+    else:
+        dense_body = make_body(plain_tail(lambda lp, h2: _dense_mlp(lp, h2)),
+                               serving)
+        moe_body = make_body(plain_tail(lambda lp, h2: _moe_v3(cfg, lp, h2)),
+                             serving)
 
     if serving:
         L = k_pages.shape[0]

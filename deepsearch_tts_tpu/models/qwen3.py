@@ -177,6 +177,9 @@ def forward(
     k_scales: jax.Array | None = None,  # int8 KV: [L, N, ps, K] f32 scales
     v_scales: jax.Array | None = None,
     fused_decode: bool = False,  # T=1 packed-weight Pallas layer kernels
+    attn_ablate: str | None = None,  # perf decomposition (micro_decode):
+    #   "skip" = no scatter, attention returns zeros;
+    #   "scatter_only" = write KV, attention returns zeros
 ):
     """Run the decoder.
 
@@ -234,6 +237,11 @@ def forward(
             table_l = page_table + layer * N
 
             def attend(q, k, v):
+                if attn_ablate == "skip":
+                    return (jnp.zeros_like(q), kpf, vpf, ksf, vsf)
+                if attn_ablate == "scatter_only":
+                    kw, vw = write_kv_flat(kpf, vpf, k, v, positions, table_l)
+                    return (jnp.zeros_like(q), kw, vw, ksf, vsf)
                 if kv_int8:
                     kq, ks_new = quantize_kv_rows(k)
                     vq, vs_new = quantize_kv_rows(v)

@@ -118,13 +118,25 @@ def logical_axes(cfg: Qwen3MoeConfig) -> dict:
     return tree
 
 
-def _moe_block(cfg: Qwen3MoeConfig, lp: dict, h: jax.Array) -> jax.Array:
+def _moe_block(cfg: Qwen3MoeConfig, lp: dict, h: jax.Array,
+               router_logits: jax.Array | None = None) -> jax.Array:
     B, T, E = h.shape
     x = h.reshape(B * T, E)
-    fn = moe_ragged if cfg.moe_impl == "ragged" else moe_capacity
-    kwargs = {} if cfg.moe_impl == "ragged" else {"capacity_factor": cfg.capacity_factor}
-    out = fn(x, lp["router"], lp["w_gate"], lp["w_up"], lp["w_down"],
-             cfg.top_k, cfg.norm_topk_prob, **kwargs)
+    if "w_gateup" in lp:  # packed gate|up (engine.pack_weights)
+        w_gate, w_up = lp["w_gateup"], None
+    else:
+        w_gate, w_up = lp["w_gate"], lp["w_up"]
+    if cfg.moe_impl == "ragged":
+        out = moe_ragged(x, lp.get("router"), w_gate, w_up, lp["w_down"],
+                         cfg.top_k, cfg.norm_topk_prob,
+                         router_logits=router_logits)
+    else:
+        if w_up is None:
+            F = lp["w_down"].shape[-2]
+            w_gate, w_up = w_gate[..., :F], w_gate[..., F:]
+        out = moe_capacity(x, lp["router"], w_gate, w_up, lp["w_down"],
+                           cfg.top_k, cfg.norm_topk_prob,
+                           capacity_factor=cfg.capacity_factor)
     return out.reshape(B, T, E)
 
 
@@ -144,6 +156,7 @@ def forward(
     fresh_prefill: bool = False,
     ring_mesh=None,
     ring_axis: str = "tp",
+    fused_decode: bool = False,  # T=1 Pallas attention-side kernels
 ):
     """Same contract as models/qwen3.forward (serving + training modes)."""
     from ..engine.kvcache import write_kv_flat
@@ -185,10 +198,13 @@ def forward(
         if slot_decode:
             page_table = jnp.arange(tokens.shape[0], dtype=jnp.int32)[:, None]
 
-        def body(carry, lp):
-            x, kpf, vpf, layer = carry
-            table_l = page_table + layer * N
+        lp_stack = params["layers"]
+        use_fused = (fused_decode and tokens.shape[1] == 1
+                     and not fresh_prefill and cfg.moe_impl == "ragged"
+                     and "wqkv" in lp_stack and "w_gateup" in lp_stack
+                     and not isinstance(lp_stack["wqkv"], dict))
 
+        def make_attend(kpf, vpf, layer, table_l):
             def attend(q, k, v):
                 kw, vw = write_kv_flat(kpf, vpf, k, v, positions, table_l)
                 if fresh_prefill:
@@ -206,14 +222,53 @@ def forward(
                         impl=impl,
                     )
                 return out, kw, vw
+            return attend
+
+        def body(carry, lp):
+            x, kpf, vpf, layer = carry
+            table_l = page_table + layer * N
+            attend = make_attend(kpf, vpf, layer, table_l)
+
+            if use_fused:
+                # attention half on the dense family's Pallas kernels; the
+                # back half (wo+residual+ln2+router) is one kernel; expert
+                # FFN stays on ragged_dot over the scanned expert stacks
+                from ..ops.fused_layer import (
+                    fused_out_router_stacked,
+                    fused_qkv_stacked,
+                )
+
+                B = x.shape[0]
+                qf, kf2, vf2 = fused_qkv_stacked(
+                    x[:, 0], lp_stack["ln1"], lp_stack["wqkv"],
+                    lp_stack["q_norm"], lp_stack["k_norm"],
+                    cos[:, 0], sin[:, 0], layer,
+                    n_heads=H, n_kv=K, head_dim=D, eps=cfg.rms_eps)
+                q = qf.reshape(B, 1, H, D).astype(x.dtype)
+                k = kf2.reshape(B, 1, K, D).astype(x.dtype)
+                v = vf2.reshape(B, 1, K, D).astype(x.dtype)
+                o, kpf, vpf = attend(q, k, v)
+                x2, hn, rl = fused_out_router_stacked(
+                    o.reshape(B, H * D).astype(x.dtype), x[:, 0],
+                    lp_stack["wo"], lp_stack["ln2"], lp_stack["router"],
+                    layer, eps=cfg.rms_eps)
+                moe_out = _moe_block(cfg, lp, hn[:, None, :],
+                                     router_logits=rl)
+                x = (x2 + moe_out[:, 0])[:, None, :]
+                return (x, kpf, vpf, layer + 1), None
 
             x, (kpf, vpf) = attn(lp, x, attend)
             h = rms_norm(x, lp["ln2"], cfg.rms_eps)
             x = x + _moe_block(cfg, lp, h)
             return (x, kpf, vpf, layer + 1), None
 
+        # fused path: attention weights reach the kernels as closed-over
+        # stacks (layer-indexed by scalar prefetch); only the expert stacks
+        # ride the scan as xs
+        xs = ({k: lp_stack[k] for k in ("w_gateup", "w_down")}
+              if use_fused else lp_stack)
         (x, kpf, vpf, _), _ = jax.lax.scan(
-            body, (x, kpf, vpf, jnp.zeros((), jnp.int32)), params["layers"])
+            body, (x, kpf, vpf, jnp.zeros((), jnp.int32)), xs)
         k_pages = kpf.reshape(k_pages.shape)
         v_pages = vpf.reshape(v_pages.shape)
     else:

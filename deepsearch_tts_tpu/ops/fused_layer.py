@@ -459,6 +459,218 @@ def fused_out_mlp_stacked(attn_out: jax.Array, x: jax.Array,
       ln_all.reshape(L, 1, E), gateup_all, gateup_all, wd_all)
 
 
+def _mlp_stacked_kernel(l_ref, x_ref, ln_ref, wg_ref, wu_ref, wd_ref, o_ref,
+                        xn_ref, acc_ref, *, eps: float, n_blocks: int,
+                        residual: bool, norm: bool):
+    del l_ref
+    j = pl.program_id(0)
+
+    @pl.when(j == 0)
+    def _init():
+        if norm:
+            xn_ref[:] = _rms_norm_f32(x_ref[:], ln_ref[0, 0], eps).astype(xn_ref.dtype)
+        else:
+            xn_ref[:] = x_ref[:].astype(xn_ref.dtype)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    xn = xn_ref[:]
+    g = jnp.dot(xn, wg_ref[0], preferred_element_type=jnp.float32)
+    u = jnp.dot(xn, wu_ref[0], preferred_element_type=jnp.float32)
+    h = (jax.nn.silu(g) * u).astype(xn.dtype)
+    acc_ref[:] += jnp.dot(h, wd_ref[0], preferred_element_type=jnp.float32)
+
+    @pl.when(j == n_blocks - 1)
+    def _fin():
+        base = x_ref[:].astype(jnp.float32) if residual else 0.0
+        o_ref[:] = (base + acc_ref[:]).astype(o_ref.dtype)
+
+
+def fused_mlp_stacked(x: jax.Array, ln_all: jax.Array, wg_all: jax.Array,
+                      wu_all: jax.Array, wd_all: jax.Array, layer: jax.Array,
+                      *, eps: float = 1e-6, residual: bool = True,
+                      norm: bool = True,
+                      interpret: bool | None = None) -> jax.Array:
+    """:func:`fused_mlp` over layer-stacked weights with scalar-prefetched
+    layer select: ``x + swiglu(rmsnorm(x, ln[l])) @ wd[l]`` (or without the
+    residual when ``residual=False`` — e.g. MLA shared experts, whose
+    output joins the routed sum before the residual add).
+
+    x: [B, E]; ln_all: [L, E]; wg_all/wu_all: [L, E, F]; wd_all: [L, F, E].
+    Used by the MLA family's dense-layer MLPs and shared experts
+    (models/deepseek_v3.py), where attention is two-stage latent projections
+    that stay on XLA einsums.
+    """
+    if interpret is None:
+        from ..utils import is_tpu_backend
+
+        interpret = not is_tpu_backend()
+    B, E = x.shape
+    L, _, F = wg_all.shape
+    act_bytes = B * (E * 2 * 3 + E * 4)
+    budget = 13 * 2**20 - act_bytes
+    fb = None
+    for cand in (768, 512, 384, 256, 128):
+        if F % cand == 0 and 3 * 2 * E * cand * 2 <= budget:
+            fb = cand
+            break
+    if fb is None:
+        raise ValueError(
+            f"fused_mlp_stacked cannot fit VMEM at E={E} F={F} batch={B}; "
+            "gate callers on fused_mlp_vmem_ok()")
+    n_blocks = F // fb
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((B, E), lambda j, l: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, E), lambda j, l: (l[0], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, E, fb), lambda j, l: (l[0], 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, E, fb), lambda j, l: (l[0], 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, fb, E), lambda j, l: (l[0], j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((B, E), lambda j, l: (0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((B, E), x.dtype),
+            pltpu.VMEM((B, E), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_mlp_stacked_kernel, eps=eps, n_blocks=n_blocks,
+                          residual=residual, norm=norm),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, E), x.dtype),
+        interpret=interpret,
+    )(jnp.asarray(layer, jnp.int32).reshape(1), x, ln_all.reshape(L, 1, E),
+      wg_all, wu_all, wd_all)
+
+
+def fused_mlp_vmem_ok(E: int, F: int, batch: int) -> bool:
+    """Gate for :func:`fused_mlp_stacked` block feasibility."""
+    act_bytes = batch * (E * 2 * 3 + E * 4)
+    budget = 13 * 2**20 - act_bytes
+    return any(F % cand == 0 and 3 * 2 * E * cand * 2 <= budget
+               for cand in (768, 512, 384, 256, 128))
+
+
+def _out_router_stacked_kernel(l_ref, a_ref, x_ref, wo_ref, ln_ref, r_ref,
+                               x2_ref, hn_ref, rl_ref,
+                               *, eps: float, n_wo_blocks: int):
+    """MoE layer back half, pre-experts: x2 = x + a@wo[l], hn = rmsnorm(x2),
+    router logits = hn @ router[l]. The expert FFN itself stays outside
+    (ragged_dot) — this kernel removes the wo/residual/norm/router small-op
+    chain from the per-layer schedule."""
+    del l_ref
+    j = pl.program_id(0)
+
+    @pl.when(j < n_wo_blocks)
+    def _wo():
+        y = jnp.dot(a_ref[:], wo_ref[0], preferred_element_type=jnp.float32)
+        E = x2_ref.shape[1]
+        eb = E // n_wo_blocks
+        x2_ref[:, pl.ds(j * eb, eb)] = (
+            x_ref[:, pl.ds(j * eb, eb)].astype(jnp.float32) + y
+        ).astype(x2_ref.dtype)
+
+    @pl.when(j == n_wo_blocks)
+    def _norm_route():
+        hn = _rms_norm_f32(x2_ref[:], ln_ref[0, 0], eps)
+        hn_ref[:] = hn.astype(hn_ref.dtype)
+        rl_ref[:] = jnp.dot(hn.astype(jnp.bfloat16), r_ref[0],
+                            preferred_element_type=jnp.float32)
+
+
+def fused_out_router_stacked(attn_out: jax.Array, x: jax.Array,
+                             wo_all: jax.Array, ln_all: jax.Array,
+                             router_all: jax.Array, layer: jax.Array,
+                             *, eps: float = 1e-6,
+                             interpret: bool | None = None
+                             ) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """MoE attention back half over layer-stacked weights.
+
+    attn_out: [B, H*D]; x: [B, E]; wo_all: [L, H*D, E]; ln_all: [L, E];
+    router_all: [L, E, NE]. Returns (x2 [B,E], hn [B,E] — the expert FFN
+    input, router_logits [B,NE] f32). Layer blocks picked by scalar
+    prefetch, same scheme as :func:`fused_out_mlp_stacked`.
+    """
+    if interpret is None:
+        from ..utils import is_tpu_backend
+
+        interpret = not is_tpu_backend()
+    B, E = x.shape
+    HD = attn_out.shape[1]
+    L, _, NE = router_all.shape
+    act_bytes = B * (HD * 2 + E * 2 * 3 + NE * 4)
+    budget = 13 * 2**20 - act_bytes - 2 * E * NE * 2  # router slab resident
+    eb = None
+    for cand in (512, 384, 256, 128):
+        if E % cand == 0 and 2 * HD * cand * 2 <= max(budget, 1):
+            eb = cand
+            break
+    if eb is None:
+        raise ValueError(
+            f"fused_out_router_stacked cannot fit VMEM at E={E} HD={HD} "
+            f"NE={NE} batch={B}; gate callers on fused_moe_vmem_ok()")
+    n_wo = E // eb
+    grid = n_wo + 1
+
+    def wo_map(j, l):
+        return (l[0], 0, jnp.minimum(j, n_wo - 1))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((B, HD), lambda j, l: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, E), lambda j, l: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, HD, eb), wo_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, E), lambda j, l: (l[0], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, E, NE), lambda j, l: (l[0], 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((B, E), lambda j, l: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, E), lambda j, l: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, NE), lambda j, l: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_out_router_stacked_kernel, eps=eps,
+                          n_wo_blocks=n_wo),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((B, E), x.dtype),
+                   jax.ShapeDtypeStruct((B, E), x.dtype),
+                   jax.ShapeDtypeStruct((B, NE), jnp.float32)],
+        interpret=interpret,
+    )(jnp.asarray(layer, jnp.int32).reshape(1), attn_out, x, wo_all,
+      ln_all.reshape(L, 1, E), router_all)
+
+
+def fused_moe_vmem_ok(cfg, batch: int) -> bool:
+    """Auto-enable gate for the MoE fused attention kernels (qkv + wo/
+    router). The expert FFN stays on ragged_dot, so only the attention-side
+    slabs need to fit."""
+    E = cfg.hidden
+    HD = cfg.n_heads * cfg.head_dim
+    NE = cfg.n_experts
+    act_bytes = batch * (HD * 2 + E * 2 * 3 + NE * 4)
+    budget = 13 * 2**20 - act_bytes - 2 * E * NE * 2
+    return any(E % cand == 0 and 2 * HD * cand * 2 <= max(budget, 1)
+               for cand in (512, 384, 256, 128))
+
+
 def _out_mlp_kernel(a_ref, x_ref, wo_ref, ln_ref, wg_ref, wu_ref, wd_ref,
                     o_ref, x2_ref, xn_ref, acc_ref,
                     *, eps: float, n_wo_blocks: int, n_f_blocks: int):

@@ -80,28 +80,39 @@ def _expert_ffn_blocked(x_sorted, w_gate, w_up, w_down, group_sizes,
 
 def _expert_ffn_ragged(x_sorted, w_gate, w_up, w_down, group_sizes):
     """Grouped SwiGLU over expert-sorted rows via ragged_dot (bf16) or the
-    blocked int8 path (quantized expert weights)."""
+    blocked int8 path (quantized expert weights).
+
+    ``w_up=None`` means ``w_gate`` is the packed [n_exp, E, 2F] gate|up
+    layout (engine.pack_weights) — one ragged_dot covers both projections.
+    """
     if _is_quant(w_gate):
         return _expert_ffn_blocked(x_sorted, w_gate, w_up, w_down, group_sizes)
-    g = jax.lax.ragged_dot(x_sorted, w_gate, group_sizes)
-    u = jax.lax.ragged_dot(x_sorted, w_up, group_sizes)
+    if w_up is None:
+        F = w_down.shape[1]
+        gu = jax.lax.ragged_dot(x_sorted, w_gate, group_sizes)
+        g, u = gu[:, :F], gu[:, F:]
+    else:
+        g = jax.lax.ragged_dot(x_sorted, w_gate, group_sizes)
+        u = jax.lax.ragged_dot(x_sorted, w_up, group_sizes)
     h = (jax.nn.silu(g.astype(jnp.float32)) * u.astype(jnp.float32)).astype(x_sorted.dtype)
     return jax.lax.ragged_dot(h, w_down, group_sizes)
 
 
 def moe_ragged(
     x: jax.Array,        # [T, E] tokens (flattened batch)
-    router_w: jax.Array,  # [E, n_exp]
-    w_gate: jax.Array,    # [n_exp, E, F]
-    w_up: jax.Array,      # [n_exp, E, F]
+    router_w: jax.Array | None,  # [E, n_exp]; None with router_logits given
+    w_gate: jax.Array,    # [n_exp, E, F], or packed [n_exp, E, 2F] w_up=None
+    w_up: jax.Array | None,  # [n_exp, E, F]
     w_down: jax.Array,    # [n_exp, F, E]
     top_k: int,
     norm_topk_prob: bool = True,
+    router_logits: jax.Array | None = None,  # [T, n_exp] precomputed (fused)
 ) -> jax.Array:
     T, E = x.shape
-    n_exp = router_w.shape[1]
-    logits = jnp.dot(x, router_w, preferred_element_type=jnp.float32)
-    top_p, top_e = route_topk(logits, top_k, norm_topk_prob)
+    if router_logits is None:
+        router_logits = jnp.dot(x, router_w, preferred_element_type=jnp.float32)
+    n_exp = router_logits.shape[1]
+    top_p, top_e = route_topk(router_logits, top_k, norm_topk_prob)
 
     S = T * top_k
     flat_e = top_e.reshape(S)

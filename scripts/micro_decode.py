@@ -144,3 +144,34 @@ def scan_scatter(kp, vp):
 
 
 timeit("scan_kv_scatter_only", lambda: scan_scatter(k_pages, v_pages))
+
+# 5) fused decode-layer path decomposition (the engine's default on TPU):
+# full vs scatter-only vs no-attention ablations isolate the attention read
+# and the KV scatter inside the real packed/fused chain.
+if os.environ.get("MB_FUSED", "1") == "1":
+    from deepsearch_tts_tpu.engine.weights import pack_matmul_params
+
+    packed = pack_matmul_params(params)
+
+    def make_scan(ablate):
+        @jax.jit
+        def scan_fused(params, kp, vp):
+            def step(carry, _):
+                tok, lens, kp, vp = carry
+                logits, (kp, vp) = forward(
+                    params, cfg, tok[:, None], lens[:, None],
+                    k_pages=kp, v_pages=vp, page_table=tables,
+                    seq_lens=lens + 1, impl="xla", fused_decode=True,
+                    attn_ablate=ablate)
+                nxt = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
+                return (nxt, lens + 1, kp, vp), None
+            lens0 = jnp.full((B,), CTX, jnp.int32)
+            (tok, lens, kp, vp), _ = jax.lax.scan(
+                step, (tok0, lens0, kp, vp), None, length=STEPS)
+            return tok
+        return scan_fused
+
+    for ablate in (None, "scatter_only", "skip"):
+        fn = make_scan(ablate)
+        timeit(f"scan_fused[{ablate or 'full'}] ctx={CTX} ps={PS}",
+               lambda fn=fn: fn(packed, k_pages, v_pages))

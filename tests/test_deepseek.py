@@ -126,3 +126,49 @@ def test_mla_fresh_prefill_matches_paged(params):
                          fresh_prefill=fresh)
         outs.append(np.asarray(out, np.float32))
     np.testing.assert_allclose(outs[0], outs[1], rtol=5e-2, atol=6e-2)
+
+
+def test_mla_fused_decode_matches_unfused():
+    """fused_decode (fused_mlp_stacked over dense MLPs + shared experts)
+    must match the XLA chain on a 128-aligned config (interpret on CPU)."""
+    from deepsearch_tts_tpu.engine.kvcache import init_kv_pages
+    from deepsearch_tts_tpu.models.deepseek_v3 import DeepSeekV3Config
+
+    cfg = DeepSeekV3Config(
+        vocab_size=256, hidden=128, n_layers=3, n_heads=2, q_lora_rank=64,
+        kv_lora_rank=64, qk_nope_head_dim=32, qk_rope_head_dim=16,
+        v_head_dim=32, dense_intermediate=128, first_k_dense=1,
+        n_routed_experts=4, n_shared_experts=1, moe_intermediate=128,
+        top_k=2, n_group=2, topk_group=1, tie_embeddings=True)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+
+    B, PS, NP = 4, 8, 16
+    ctx = 5
+    k_pages, _ = init_kv_pages(cfg.n_layers, NP, PS, 1, cfg.head_dim)
+    v_pages = jnp.zeros((cfg.n_layers, 1, PS, 1, cfg.head_dim), jnp.bfloat16)
+    table = jnp.asarray([[1 + 2 * b, 2 + 2 * b] for b in range(B)], jnp.int32)
+    rng = np.random.default_rng(0)
+    ptoks = jnp.asarray(rng.integers(0, cfg.vocab_size, size=(B, ctx)),
+                        jnp.int32)
+    ppos = jnp.broadcast_to(jnp.arange(ctx), (B, ctx)).astype(jnp.int32)
+    _, (k_pages, _) = forward(
+        params, cfg, ptoks, ppos, k_pages=k_pages, v_pages=v_pages,
+        page_table=table, seq_lens=jnp.full((B,), ctx, jnp.int32))
+
+    tok = jnp.asarray(rng.integers(0, cfg.vocab_size, size=(B, 1)), jnp.int32)
+    pos = jnp.full((B, 1), ctx, jnp.int32)
+    lens = jnp.full((B,), ctx + 1, jnp.int32)
+
+    ref_logits, (rk, _) = forward(
+        params, cfg, tok, pos, k_pages=k_pages, v_pages=v_pages,
+        page_table=table, seq_lens=lens)
+    fused_logits, (fk, _) = forward(
+        params, cfg, tok, pos, k_pages=k_pages, v_pages=v_pages,
+        page_table=table, seq_lens=lens, fused_decode=True)
+
+    np.testing.assert_allclose(np.asarray(fused_logits, np.float32),
+                               np.asarray(ref_logits, np.float32),
+                               rtol=0.08, atol=0.08)
+    np.testing.assert_allclose(np.asarray(fk, np.float32),
+                               np.asarray(rk, np.float32),
+                               rtol=0.08, atol=0.05)

@@ -110,3 +110,53 @@ def test_moe_fresh_prefill_matches_paged():
                          fresh_prefill=fresh)
         outs.append(np.asarray(out, np.float32))
     np.testing.assert_allclose(outs[0], outs[1], rtol=5e-2, atol=6e-2)
+
+
+def test_moe_fused_decode_matches_unfused():
+    """fused_decode (Pallas attention-side kernels + precomputed router
+    logits + packed-gateup ragged experts) must match the plain XLA chain
+    on a 128-aligned config (interpret mode on CPU)."""
+    from deepsearch_tts_tpu.engine.kvcache import init_kv_pages
+    from deepsearch_tts_tpu.engine.weights import pack_matmul_params
+    from deepsearch_tts_tpu.models.qwen3_moe import Qwen3MoeConfig
+
+    cfg = Qwen3MoeConfig(vocab_size=256, hidden=128, n_layers=2, n_heads=2,
+                         n_kv_heads=2, head_dim=128, n_experts=4, top_k=2,
+                         moe_intermediate=128, tie_embeddings=True)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    packed = pack_matmul_params(params)
+    assert packed["layers"]["w_gateup"].shape[-1] == 2 * cfg.moe_intermediate
+
+    B, PS, NP = 4, 8, 16
+    ctx = 5
+    k_pages, v_pages = init_kv_pages(cfg.n_layers, NP, PS, cfg.n_kv_heads,
+                                     cfg.head_dim)
+    table = np.zeros((B, 2), np.int32)
+    for b in range(B):
+        table[b] = [1 + 2 * b, 2 + 2 * b]
+    table = jnp.asarray(table)
+    # place some context in the pages first (prefill via the unfused path)
+    ptoks = jnp.asarray(np.random.default_rng(0).integers(
+        0, cfg.vocab_size, size=(B, ctx)), jnp.int32)
+    ppos = jnp.broadcast_to(jnp.arange(ctx), (B, ctx)).astype(jnp.int32)
+    _, (k_pages, v_pages) = forward(
+        params, cfg, ptoks, ppos, k_pages=k_pages, v_pages=v_pages,
+        page_table=table, seq_lens=jnp.full((B,), ctx, jnp.int32))
+
+    tok = jnp.asarray([[7], [9], [11], [13]], jnp.int32)
+    pos = jnp.full((B, 1), ctx, jnp.int32)
+    lens = jnp.full((B,), ctx + 1, jnp.int32)
+
+    ref_logits, (rk, rv) = forward(
+        params, cfg, tok, pos, k_pages=k_pages, v_pages=v_pages,
+        page_table=table, seq_lens=lens)
+    fused_logits, (fk, fv) = forward(
+        packed, cfg, tok, pos, k_pages=k_pages, v_pages=v_pages,
+        page_table=table, seq_lens=lens, fused_decode=True)
+
+    np.testing.assert_allclose(np.asarray(fused_logits, np.float32),
+                               np.asarray(ref_logits, np.float32),
+                               rtol=0.08, atol=0.08)
+    np.testing.assert_allclose(np.asarray(fk, np.float32),
+                               np.asarray(rk, np.float32),
+                               rtol=0.05, atol=0.02)
