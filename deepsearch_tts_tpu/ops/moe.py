@@ -128,6 +128,98 @@ def moe_ragged(
     return jnp.sum(y * flat_p.reshape(T, top_k, 1).astype(y.dtype), axis=1).astype(x.dtype)
 
 
+def moe_ep_alltoall(
+    x: jax.Array,         # [T, E] tokens, sharded over the ep axis rows
+    router_w: jax.Array,  # [E, n_exp] replicated
+    w_gate: jax.Array, w_up: jax.Array, w_down: jax.Array,  # expert-sharded
+    top_k: int,
+    mesh,
+    norm_topk_prob: bool = True,
+    capacity_factor: float = 2.0,
+    ep_axis: str = "ep",
+) -> jax.Array:
+    """Explicit expert-parallel MoE: tokens sharded over ``ep``, experts
+    sharded over ``ep``, dispatch/return via ``jax.lax.all_to_all``.
+
+    The 235B-class serving pattern (SURVEY.md §2.3 EP): each device routes
+    its own token shard, packs assignments into fixed per-destination
+    capacity buckets, exchanges them over ICI with one all-to-all, runs its
+    local experts' SwiGLU, and returns results with a second all-to-all.
+    Per-(src,dst) capacity is ``ceil(T_local·k/n_ep · capacity_factor)``;
+    overflow drops follow the same semantics as :func:`moe_capacity` (the
+    GSPMD fallback this specializes — parity-tested against it).
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    n_ep = mesh.shape[ep_axis]
+    n_exp = router_w.shape[1]
+    assert n_exp % n_ep == 0, (n_exp, n_ep)
+    per_dev = n_exp // n_ep
+
+    def local(xl, rw, wg, wu, wd):
+        # xl: [T_l, E]; wg/wu/wd: [per_dev, ...] this device's experts
+        T_l, E = xl.shape
+        cap = max(1, -(-int(capacity_factor * T_l * top_k) // n_ep))
+        logits = jnp.dot(xl, rw, preferred_element_type=jnp.float32)
+        top_p, top_e = route_topk(logits, top_k, norm_topk_prob)   # [T_l,k]
+
+        dest = top_e // per_dev                                     # [T_l,k]
+        local_e = top_e % per_dev
+        # slot of each assignment within its destination bucket
+        oh = jax.nn.one_hot(dest, n_ep, dtype=jnp.int32).reshape(
+            T_l * top_k, n_ep)
+        pos = (jnp.cumsum(oh, axis=0) - oh)[
+            jnp.arange(T_l * top_k), dest.reshape(-1)]
+        keep = pos < cap
+        slot = jnp.where(keep, pos, cap)                            # cap = drop
+
+        send_x = jnp.zeros((n_ep, cap + 1, E), xl.dtype).at[
+            dest.reshape(-1), slot].set(
+                jnp.repeat(xl, top_k, axis=0), mode="drop")[:, :cap]
+        send_e = jnp.full((n_ep, cap + 1), -1, jnp.int32).at[
+            dest.reshape(-1), slot].set(local_e.reshape(-1),
+                                        mode="drop")[:, :cap]
+
+        recv_x = jax.lax.all_to_all(send_x, ep_axis, 0, 0, tiled=False)
+        recv_e = jax.lax.all_to_all(send_e, ep_axis, 0, 0, tiled=False)
+        # recv_*: [n_ep, cap, ...] rows for THIS device's experts
+
+        rx = recv_x.reshape(n_ep * cap, E)
+        re = recv_e.reshape(n_ep * cap)
+        # capacity-style local expert compute: scatter into [per_dev, Cl, E]
+        Cl = n_ep * cap
+        eoh = jax.nn.one_hot(jnp.where(re >= 0, re, per_dev), per_dev + 1,
+                             dtype=jnp.int32)[:, :per_dev]          # [Cl,pd]
+        epos = (jnp.cumsum(eoh, axis=0) - eoh)[
+            jnp.arange(Cl), jnp.clip(re, 0, per_dev - 1)]
+        xe = jnp.zeros((per_dev, Cl, E), rx.dtype).at[
+            jnp.clip(re, 0, per_dev - 1),
+            jnp.where(re >= 0, epos, Cl)].set(rx, mode="drop")
+        g = _expert_dot(xe, wg)
+        u = _expert_dot(xe, wu)
+        h = (jax.nn.silu(g) * u).astype(rx.dtype)
+        ye = _expert_dot(h, wd).astype(rx.dtype)                    # [pd,Cl,E]
+        ry = ye[jnp.clip(re, 0, per_dev - 1), epos]
+        ry = jnp.where((re >= 0)[:, None], ry, 0).reshape(n_ep, cap, E)
+
+        back = jax.lax.all_to_all(ry, ep_axis, 0, 0, tiled=False)
+        # back[d, s]: result for the assignment this device packed into
+        # bucket d slot s
+        got = back[dest.reshape(-1), slot.clip(0, cap - 1)]
+        got = jnp.where(keep[:, None], got, 0).reshape(T_l, top_k, E)
+        return jnp.sum(
+            got.astype(jnp.float32) * top_p[..., None], axis=1).astype(xl.dtype)
+
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(ep_axis, None), P(), P(ep_axis), P(ep_axis), P(ep_axis)),
+        out_specs=P(ep_axis, None),
+        check_vma=False,
+    )(x, router_w, w_gate, w_up, w_down)
+
+
 def moe_capacity(
     x: jax.Array,         # [T, E]
     router_w: jax.Array,

@@ -160,3 +160,40 @@ def test_moe_fused_decode_matches_unfused():
     np.testing.assert_allclose(np.asarray(fk, np.float32),
                                np.asarray(rk, np.float32),
                                rtol=0.05, atol=0.02)
+
+
+def test_moe_ep_alltoall_matches_ragged(mesh8):
+    """Explicit all-to-all EP dispatch == single-device ragged MoE when
+    capacity is ample (8-way ep mesh on virtual CPU devices)."""
+    from deepsearch_tts_tpu.ops.moe import moe_ep_alltoall
+    from deepsearch_tts_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(ep=8)
+    key = jax.random.PRNGKey(5)
+    E, NE, F, T = 32, 8, 48, 16
+    router, wg, wu, wd = _moe_weights(key, E=E, NE=NE, F=F)
+    x = (jax.random.normal(jax.random.PRNGKey(6), (T, E), jnp.float32)
+         * 0.5).astype(jnp.bfloat16)
+
+    want = moe_ragged(x, router, wg, wu, wd, top_k=2)
+    got = moe_ep_alltoall(x, router, wg, wu, wd, top_k=2, mesh=mesh,
+                          capacity_factor=8.0)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               rtol=5e-2, atol=5e-2)
+
+
+def test_moe_ep_alltoall_drops_overflow(mesh8):
+    from deepsearch_tts_tpu.ops.moe import moe_ep_alltoall
+    from deepsearch_tts_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(ep=8)
+    key = jax.random.PRNGKey(7)
+    router, wg, wu, wd = _moe_weights(key)
+    x = jax.random.normal(jax.random.PRNGKey(8), (16, 32),
+                          jnp.float32).astype(jnp.bfloat16)
+    # NE=4 experts over 8 ep shards is invalid; use 8-expert weights
+    router, wg, wu, wd = _moe_weights(key, NE=8)
+    y = moe_ep_alltoall(x, router, wg, wu, wd, top_k=2, mesh=mesh,
+                        capacity_factor=0.25)
+    assert bool(jnp.isfinite(y.astype(jnp.float32)).all())
