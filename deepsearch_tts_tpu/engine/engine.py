@@ -275,9 +275,16 @@ class Engine:
             if cache_mode == "slot" or self.latent_cache:
                 raise ValueError("int8 KV requires the paged cache mode")
         self.kv_quantize = kv_quantize
-        kv_dtype = jnp.int8 if kv_quantize else cfgv.jnp_dtype
+        # int8 pools are STORED as int32-packed words (4 lanes per word):
+        # a raw int8 gather hits a scalar TPU path and a per-step bitcast of
+        # the whole pool materializes GB-scale copies — packed storage keeps
+        # the gather vectorized with zero per-step conversion.
+        kv_dtype = jnp.int32 if kv_quantize else cfgv.jnp_dtype
+        kv_last = cfgv.head_dim // 4 if kv_quantize else cfgv.head_dim
+        if kv_quantize and cfgv.head_dim % 4:
+            raise ValueError("int8 KV requires head_dim % 4 == 0")
         kshape = (cfgv.n_layers, n_pages, page_size, cfgv.n_kv_heads,
-                  cfgv.head_dim)
+                  kv_last)
         self.kv_aux: dict[str, Any] = {}
         if kv_quantize:
             sshape = kshape[:-1]

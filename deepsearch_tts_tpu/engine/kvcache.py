@@ -61,17 +61,30 @@ def write_kv_flat(
 
 
 def quantize_kv_rows(rows: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """[B, T, K, D] bf16 → (int8 rows, f32 scales [B, T, K]).
+    """[B, T, K, D] bf16 → (int32-PACKED rows [B, T, K, D//4], f32 scales
+    [B, T, K]).
 
     Symmetric per-(token, head) quantization: one scale per cache row, the
     granularity that keeps rope-rotated keys accurate while halving KV HBM
     traffic and footprint (SURVEY.md §7(a): sub-bf16 for the 235B-class
-    memory budget)."""
+    memory budget). The int8 lanes are bitcast-packed 4-per-int32 word so
+    pool storage, scatter, and the decode gather all move 32-bit words —
+    a raw int8 gather lowers to a scalar TPU path (~12x slower measured)."""
     x = rows.astype(jnp.float32)
     amax = jnp.max(jnp.abs(x), axis=-1)                     # [B, T, K]
     s = jnp.maximum(amax / 127.0, 1e-8)
     q = jnp.clip(jnp.round(x / s[..., None]), -127, 127).astype(jnp.int8)
-    return q, s
+    B, T, K, D = q.shape
+    packed = jax.lax.bitcast_convert_type(
+        q.reshape(B, T, K, D // 4, 4), jnp.int32)
+    return packed, s
+
+
+def unpack_int8_rows(packed: jax.Array) -> jax.Array:
+    """Inverse lane view of :func:`quantize_kv_rows`'s packing:
+    int32 [..., D4] → int8 [..., D4*4]."""
+    out = jax.lax.bitcast_convert_type(packed, jnp.int8)
+    return out.reshape(packed.shape[:-1] + (packed.shape[-1] * 4,))
 
 
 def write_scales_flat(

@@ -101,28 +101,23 @@ def paged_attention(
     S = P * ps
     scale = scale if scale is not None else D ** -0.5
 
-    if k_pages.dtype == jnp.int8:
-        # int8 KV: a raw int8 gather hits a scalar path on TPU (measured
-        # ~12x slower than bf16); bitcast-pack 4 int8 lanes into one int32
-        # word so the gather moves 32-bit words, then unpack + dequant at
-        # the consumer. Pool read stays 1 byte/elem (+ 4/D for scales).
-        def gather_packed(pages):
-            p32 = jax.lax.bitcast_convert_type(
-                pages.reshape(N, ps, K, D // 4, 4), jnp.int32)
-            g = p32[page_table]                       # [B, P, ps, K, D/4]
-            return jax.lax.bitcast_convert_type(
-                g, jnp.int8).reshape(B, S, K, D)
-
-        k_ctx = gather_packed(k_pages)
-        v_ctx = gather_packed(v_pages)
-    else:
-        k_ctx = k_pages[page_table].reshape(B, S, K, D)
-        v_ctx = v_pages[page_table].reshape(B, S, K, D)
     if k_scales is not None:
+        # int8 KV pools are STORED int32-packed (engine/kvcache.
+        # quantize_kv_rows): the gather moves 32-bit words (a raw int8
+        # gather lowers to a scalar TPU path, measured ~12x slower), and
+        # only the gathered [B, S] context — never the whole pool — is
+        # lane-unpacked and dequantized at the consumer.
+        from ..engine.kvcache import unpack_int8_rows
+
+        k_ctx = unpack_int8_rows(k_pages[page_table]).reshape(B, S, K, D)
+        v_ctx = unpack_int8_rows(v_pages[page_table]).reshape(B, S, K, D)
         ks = k_scales[page_table].reshape(B, S, K, 1)
         vs = v_scales[page_table].reshape(B, S, K, 1)
         k_ctx = (k_ctx.astype(jnp.float32) * ks).astype(q.dtype)
         v_ctx = (v_ctx.astype(jnp.float32) * vs).astype(q.dtype)
+    else:
+        k_ctx = k_pages[page_table].reshape(B, S, K, D)
+        v_ctx = v_pages[page_table].reshape(B, S, K, D)
     return masked_context_attention(q, k_ctx, v_ctx, seq_lens, q_positions,
                                     scale=scale)
 

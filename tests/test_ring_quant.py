@@ -161,7 +161,9 @@ def test_int8_kv_cache_end_to_end():
     eng = Engine("qwen3-test", tk, params=params, max_slots=2, page_size=4,
                  n_pages=64, max_seq_len=128, decode_chunk_len=4,
                  pack_weights=False, kv_quantize="int8")
-    assert eng.k_pages.dtype == jnp.int8 and eng.v_pages.dtype == jnp.int8
+    # pools stored int32-packed (4 int8 lanes per word)
+    assert eng.k_pages.dtype == jnp.int32 and eng.v_pages.dtype == jnp.int32
+    assert eng.k_pages.shape[-1] == cfg.head_dim // 4
     assert eng.kv_aux["ks"].shape == eng.k_pages.shape[:-1]
     b = eng.generate(req())
     c = eng.generate(req())
