@@ -141,6 +141,13 @@ class Engine:
         #   dispatch fixed cost when bursts of same-bucket prompts arrive)
         ring_prefill_len: int | None = None,  # fresh prefills >= this length
         # run ring attention over the mesh's tp axis (sp aliases tp)
+        prefill_lane: int = 0,  # in-flight chunked prefill: ride this many
+        #   prompt tokens on every decode step (Sarathi/vLLM-style chunked
+        #   prefill, fused into the decode program so prompts stream through
+        #   decode's HBM-bound weight reads). 0 = off; requests then prefill
+        #   in dedicated batched dispatches. Lane admission only engages
+        #   while decode rows are active — cold bursts still take the fast
+        #   batched-prefill path.
         seed: int = 0,
         enable_prefix_cache: bool = True,
     ):
@@ -366,6 +373,16 @@ class Engine:
         self._host_version = 0
         self._dev_cache: dict[str, tuple[int, Any]] = {}
         self._queue: "queue.Queue[tuple[GenerationRequest, Future]]" = queue.Queue()
+        self.prefill_lane = int(prefill_lane or 0)
+        if self.prefill_lane:
+            if cache_mode == "slot":
+                raise ValueError("prefill_lane requires the paged cache")
+            if "lane_tokens" not in inspect.signature(fam.forward).parameters:
+                raise ValueError(
+                    f"model family {model_name!r} has no prefill-lane path")
+        # pending lane work: [{"p": prepared-request dict, "off": int}]
+        self._lane: list[dict] = []
+        self._chunk_seq = 0   # dispatch counter for lane abort draining
         self._deferred: list[tuple[GenerationRequest, Future]] = []
         # preempted-sequence continuations keyed by future: generated
         # tokens + stop/detok state restored at re-admission (vLLM-style
@@ -383,7 +400,7 @@ class Engine:
         self.stats = {
             "requests": 0, "prefill_tokens": 0, "decode_tokens": 0,
             "decode_steps": 0, "decode_time_s": 0.0, "prefill_time_s": 0.0,
-            "preemptions": 0,
+            "preemptions": 0, "lane_tokens": 0,
         }
         # high-water mark for non-overlapping prefill-time accounting: under
         # two-phase admission all groups dispatch back-to-back before any
@@ -421,6 +438,8 @@ class Engine:
         return sorted(out)
 
     def _build_decode_fn(self):
+        if self.prefill_lane:
+            return self._build_decode_lane_fn()
         cfg, fwd = self.cfg, self.forward
         chunk = self.decode_chunk_len
         impl = self.attn_impl
@@ -478,6 +497,96 @@ class Engine:
                     keys)
             return (k_pages, v_pages, kv_aux, seen, last_tok, seq_lens,
                     toks.T)  # [B, chunk]
+
+        return decode_chunk
+
+    def _build_decode_lane_fn(self):
+        """Decode-chunk program with the in-flight prefill lane: every step
+        carries ``Tp`` prompt tokens of one pending request through the same
+        forward (models/qwen3.forward lane args) — prompt prefill rides
+        decode's HBM-bound weight reads instead of stalling it. Prompts that
+        complete mid-chunk get their first token sampled post-scan from the
+        recorded lane logits; the host activates their slots at process
+        time."""
+        cfg, fwd = self.cfg, self.forward
+        chunk = self.decode_chunk_len
+        impl = self.attn_impl
+        A = self.LANE_MAX_ACT
+
+        eos_id = self.tokenizer.eos_id if self.tokenizer.eos_id is not None else -1
+        kv_q = bool(self.kv_quantize)
+
+        @partial(jax.jit, donate_argnums=(0, 1, 2, 5))
+        def decode_chunk(k_pages, v_pages, kv_aux, params, page_tables, seen,
+                         last_tok, seq_lens, host_last, host_lens, use_host,
+                         active, samp, key, min_tokens, prompt_lens,
+                         lane_tokens, lane_pos, lane_tables, lane_lens,
+                         lane_logit_rows, act_slots, act_steps, act_seen):
+            last_tok = jnp.where(use_host, host_last, last_tok)
+            seq_lens = jnp.where(use_host, host_lens, seq_lens)
+
+            def step(carry, xs):
+                kp, vp, aux, last, lens, seen = carry
+                (step_key, ltoks, lpos, ltab, llen, lrow) = xs
+                sp = SamplingParams(
+                    samp["temperature"], samp["top_k"], samp["top_p"],
+                    samp["min_p"], samp["repetition_penalty"],
+                    min_tokens=min_tokens,
+                    tokens_generated=lens - prompt_lens + 1,
+                    eos_id=eos_id,
+                )
+                pos = jnp.where(active, lens, -1)[:, None]
+                fwd_kw = {}
+                if self.layer_fusion:
+                    fwd_kw["fused_decode"] = True
+                if kv_q:
+                    fwd_kw.update(k_scales=aux["ks"], v_scales=aux["vs"])
+                logits, cache = fwd(
+                    params, cfg, last[:, None], pos,
+                    k_pages=kp, v_pages=vp, page_table=page_tables,
+                    seq_lens=lens + active.astype(jnp.int32),
+                    impl=impl,
+                    lane_tokens=ltoks, lane_positions=lpos, lane_table=ltab,
+                    lane_seq_len=llen, lane_logit_row=lrow, **fwd_kw,
+                )
+                if kv_q:
+                    kp, vp, aux = cache[0], cache[1], {"ks": cache[2],
+                                                       "vs": cache[3]}
+                else:
+                    kp, vp = cache
+                B = last.shape[0]
+                nxt = sample(logits[:B, 0], sp, seen, step_key)
+                nxt = jnp.where(active, nxt, last)
+                seen = update_seen(seen, nxt)
+                lens = lens + active.astype(jnp.int32)
+                return (kp, vp, aux, nxt, lens, seen), (nxt, logits[B, 0])
+
+            keys = jax.random.split(key, chunk + 1)
+            (k_pages, v_pages, kv_aux, last_tok, seq_lens, seen), ys = \
+                jax.lax.scan(
+                    step, (k_pages, v_pages, kv_aux, last_tok, seq_lens, seen),
+                    (keys[:chunk], lane_tokens, lane_pos, lane_tables,
+                     lane_lens, lane_logit_rows))
+            toks, lane_logits = ys            # [chunk, B], [chunk, V]
+
+            # ---- first-token sampling for prompts completed this chunk ----
+            # (act rows padded with slot=max_slots step=0 are folded with
+            # mode="drop" and their sampled tokens ignored host-side)
+            slot_c = jnp.clip(act_slots, 0, seen.shape[0] - 1)
+            act_logits = lane_logits[jnp.clip(act_steps, 0, chunk - 1)]
+            asp = SamplingParams(
+                samp["temperature"][slot_c], samp["top_k"][slot_c],
+                samp["top_p"][slot_c], samp["min_p"][slot_c],
+                samp["repetition_penalty"][slot_c],
+                min_tokens=min_tokens[slot_c],
+                tokens_generated=jnp.zeros((A,), jnp.int32),
+                eos_id=eos_id,
+            )
+            seen = seen.at[act_slots].set(act_seen, mode="drop")
+            act_first = sample(act_logits, asp, act_seen, keys[chunk])
+            seen = seen.at[act_slots, act_first].set(True, mode="drop")
+            return (k_pages, v_pages, kv_aux, seen, last_tok, seq_lens,
+                    toks.T, act_first)
 
         return decode_chunk
 
@@ -660,12 +769,27 @@ class Engine:
                 samp = {k: jnp.asarray(v) for k, v in self.samp_host.items()}
                 last = jnp.asarray(self.last_tok)
                 lens = jnp.asarray(self.seq_lens)
+                lane_args = ()
+                if self.prefill_lane:
+                    chunk, Tp, A = (self.decode_chunk_len, self.prefill_lane,
+                                    self.LANE_MAX_ACT)
+                    lane_args = (
+                        jnp.zeros((chunk, Tp), jnp.int32),
+                        jnp.full((chunk, Tp), -1, jnp.int32),
+                        jnp.zeros((chunk, p_cur), jnp.int32),
+                        jnp.zeros((chunk,), jnp.int32),
+                        jnp.zeros((chunk,), jnp.int32),
+                        jnp.full((A,), B, jnp.int32),
+                        jnp.zeros((A,), jnp.int32),
+                        jnp.zeros((A, self.cfg.vocab_size), bool),
+                    )
                 out = self._decode_fn(
                     self.k_pages, self.v_pages, self.kv_aux, self.params,
                     jnp.asarray(self.page_tables[:, :p_cur]), self.seen,
                     last, lens, last, lens, jnp.ones((B,), bool),
                     jnp.zeros((B,), bool), samp, key,
                     jnp.asarray(self.min_tokens), jnp.asarray(self.prompt_lens),
+                    *lane_args,
                 )
                 # inactive rows write nothing (positions < 0 are dropped);
                 # rebind the donated buffers and discard the rest
@@ -705,12 +829,25 @@ class Engine:
                 if self._pending is None:
                     self._apply_aborts()
                     admitted = self._admit()
-                    if not any(s.active for s in self.slots):
+                    if not any(s.active for s in self.slots) \
+                            and not self._lane:
                         if not admitted:
                             self._wake.wait(timeout=0.05)
                             self._wake.clear()
                         continue
                     self._pending = self._dispatch_decode(carry=None)
+                    if self._pending is None and self._lane:
+                        # nothing dispatchable and no chunk in flight:
+                        # aborted lane entries can be reclaimed immediately
+                        keep = []
+                        for e in self._lane:
+                            if e.get("done"):
+                                continue
+                            if e.get("aborted"):
+                                self._abort_lane_entry(e)
+                                continue
+                            keep.append(e)
+                        self._lane = keep
                 else:
                     nxt = None
                     if self.pipeline_decode and not self._aborts \
@@ -734,6 +871,11 @@ class Engine:
                         fut.set_exception(e)
                 self._deferred.clear()
                 self._resumes.clear()
+                for le in self._lane:
+                    fut = le["p"]["slot"].future
+                    if fut is not None and not fut.done():
+                        fut.set_exception(e)
+                self._lane.clear()
                 while not self._queue.empty():
                     try:
                         item = self._queue.get_nowait()
@@ -781,6 +923,9 @@ class Engine:
     # +8%) — groups only grow when that many same-bucket prompts are queued,
     # so small loads keep small dispatches.
     MAX_PREFILL_GROUP = 16
+    # prefill-lane prompts that may COMPLETE (and sample a first token) per
+    # decode chunk; more simply wait for the next chunk
+    LANE_MAX_ACT = 4
     # cap rows x bucket per dispatch: the fresh-prefill causal path scores
     # [G, H, T, T] in f32, so unchecked long buckets at full group width
     # exhaust HBM (16 x 2048 tokens = ~4GB of scores)
@@ -798,6 +943,18 @@ class Engine:
                 self._aborts.discard(s.req.request_id)
                 s.stop.finished, s.stop.finish_reason = True, "aborted"
                 self._finish_slot(s, reason="aborted")
+        if self._lane and self._aborts:
+            keep = []
+            for e in self._lane:
+                rid = e["p"]["req"].request_id
+                if not e.get("aborted") and rid in self._aborts:
+                    self._aborts.discard(rid)
+                    if "last_sched" not in e:
+                        self._abort_lane_entry(e)   # never dispatched
+                        continue
+                    e["aborted"] = True   # pages freed once chunks drain
+                keep.append(e)
+            self._lane = keep
 
     def _admit(self, max_admits: int | None = None) -> bool:
         """Admit queued requests with *batched prefill*.
@@ -851,6 +1008,15 @@ class Engine:
                     fut.set_exception(e)
         if not prepared:
             return False
+
+        if self.prefill_lane and (any(s.active for s in self.slots)
+                                  or self._lane or self._pending is not None):
+            # decode is running (or about to): stream these prompts through
+            # the lane instead of stalling decode with dedicated prefill
+            # dispatches. Cold bursts (nothing active) keep the batched
+            # prefill path below — it saturates the MXU, the lane doesn't.
+            self._lane.extend({"p": p, "off": 0} for p in prepared)
+            return True
 
         groups: dict[int, list] = {}
         for p in prepared:
@@ -1120,11 +1286,102 @@ class Engine:
                 except Exception:
                     pass
 
+    def _plan_lane(self, chunk: int) -> dict:
+        """Schedule pending lane requests onto this chunk's steps: each step
+        streams up to ``prefill_lane`` suffix tokens of ONE request; a
+        request whose suffix completes becomes an activation record (first
+        token sampled in-program, slot activated at process time). Advances
+        host cursors — planning is dispatch-ordered, so pipelined chunks
+        stream disjoint token ranges."""
+        Tp = self.prefill_lane
+        self._chunk_seq += 1
+        per_step: list[dict | None] = []
+        acts: list[dict] = []
+        n_tok = 0
+        max_needed = 0
+        ei = 0
+        for step in range(chunk):
+            while ei < len(self._lane) and (
+                    self._lane[ei].get("aborted")
+                    or self._lane[ei]["off"] >= len(self._lane[ei]["p"]["suffix"])):
+                ei += 1
+            if ei >= len(self._lane) or len(acts) >= self.LANE_MAX_ACT:
+                per_step.append(None)
+                continue
+            e = self._lane[ei]
+            p = e["p"]
+            suffix, off = p["suffix"], e["off"]
+            take = min(Tp, len(suffix) - off)
+            toks = np.zeros((Tp,), np.int32)
+            pos = np.full((Tp,), -1, np.int32)
+            toks[:take] = suffix[off:off + take]
+            pos[:take] = np.arange(p["cached_len"] + off,
+                                   p["cached_len"] + off + take)
+            e["off"] = off + take
+            e["last_sched"] = self._chunk_seq
+            n_tok += take
+            valid = p["cached_len"] + e["off"]
+            per_step.append({"slot": p["slot"].idx, "toks": toks, "pos": pos,
+                             "len": valid, "row": take - 1})
+            max_needed = max(max_needed, valid + 1)
+            if e["off"] >= len(suffix):
+                acts.append({"i": len(acts), "step": step,
+                             "slot": p["slot"].idx, "entry": e,
+                             "epoch": p["slot"].epoch})
+        return {"steps": [s for s in per_step if s is not None],
+                "per_step": per_step, "acts": acts, "n_tokens": n_tok,
+                "max_tokens_needed": max_needed}
+
+    def _lane_arrays(self, plan: dict, chunk: int, p_cur: int) -> tuple:
+        """Materialize a lane plan as the decode program's lane inputs."""
+        Tp = self.prefill_lane
+        A = self.LANE_MAX_ACT
+        toks = np.zeros((chunk, Tp), np.int32)
+        pos = np.full((chunk, Tp), -1, np.int32)
+        tabs = np.zeros((chunk, p_cur), np.int32)
+        lens = np.zeros((chunk,), np.int32)
+        rows = np.zeros((chunk,), np.int32)
+        for step, s in enumerate(plan["per_step"]):
+            if s is None:
+                continue
+            toks[step] = s["toks"]
+            pos[step] = s["pos"]
+            tabs[step] = self.page_tables[s["slot"], :p_cur]
+            lens[step] = s["len"]
+            rows[step] = s["row"]
+        act_slots = np.full((A,), self.max_slots, np.int32)
+        act_steps = np.zeros((A,), np.int32)
+        act_seen = np.zeros((A, self.cfg.vocab_size), bool)
+        for a in plan["acts"]:
+            act_slots[a["i"]] = a["slot"]
+            act_steps[a["i"]] = a["step"]
+            ids = np.asarray(a["entry"]["p"]["prompt"], np.int64)
+            act_seen[a["i"]][ids[ids < self.cfg.vocab_size]] = True
+        return (jnp.asarray(toks), jnp.asarray(pos), jnp.asarray(tabs),
+                jnp.asarray(lens), jnp.asarray(rows), jnp.asarray(act_slots),
+                jnp.asarray(act_steps), jnp.asarray(act_seen))
+
+    def _abort_lane_entry(self, e: dict) -> None:
+        p = e["p"]
+        slot = p["slot"]
+        fut = slot.future
+        self.allocator.free(slot.shared_pages)
+        self.allocator.free(slot.pages)
+        self.page_tables[slot.idx, :] = 0
+        self.seq_lens[slot.idx] = 0
+        self._mark_dirty()
+        slot.reset()
+        if fut is not None and not fut.done():
+            fut.cancel()
+
     def _can_speculate(self, h: dict) -> bool:
         """Worth dispatching chunk N+1 before syncing N? Only if some slot is
         certain to still want tokens after the outstanding chunk (otherwise
         the speculative chunk is pure waste at drain time)."""
         chunk = self.decode_chunk_len
+        if any(not e.get("aborted") and e["off"] < len(e["p"]["suffix"])
+               for e in self._lane):
+            return True  # lane work keeps a speculative chunk productive
         for s in self.slots:
             if not s.active or not h["active"][s.idx] \
                     or h["epochs"][s.idx] != s.epoch:
@@ -1184,7 +1441,8 @@ class Engine:
                 s.pages.extend(new)
                 self._mark_dirty()
 
-        if not active.any():
+        lane_plan = self._plan_lane(chunk) if self.prefill_lane else None
+        if not active.any() and (lane_plan is None or not lane_plan["steps"]):
             return None
         # context-bucketed page table: the XLA attention path gathers all P
         # passed pages per layer, so slice to a pow2 bucket covering the
@@ -1193,7 +1451,10 @@ class Engine:
         # by warmup()).
         p_cur = self.max_pages_per_seq
         if self.cache_mode != "slot" and self.context_buckets:
-            need = int(np.max(np.where(active, predicted, 0))) + chunk + 1
+            need = int(np.max(np.where(active, predicted, 0), initial=0)) \
+                + chunk + 1
+            if lane_plan is not None:
+                need = max(need, lane_plan["max_tokens_needed"])
             need_pages = -(-need // self.page_size)
             for b in self._decode_buckets():
                 if b >= need_pages:
@@ -1216,18 +1477,36 @@ class Engine:
                            lambda: jnp.asarray(self.page_tables[:, :p_cur]))
         min_toks = self._dev("min_tokens", lambda: jnp.asarray(self.min_tokens))
         plens = self._dev("prompt_lens", lambda: jnp.asarray(self.prompt_lens))
-        with self.spans.span("decode_dispatch"):
-            (self.k_pages, self.v_pages, self.kv_aux, self.seen, last, lens,
-             toks) = self._decode_fn(
-                    self.k_pages, self.v_pages, self.kv_aux, self.params,
-                    tables, self.seen,
-                    last, lens, host_last, host_lens, jnp.asarray(use_host),
-                    jnp.asarray(active), samp, key, min_toks, plens,
-                )
+        act_first = None
+        if self.prefill_lane:
+            la = self._lane_arrays(lane_plan, chunk, p_cur)
+            with self.spans.span("decode_dispatch"):
+                (self.k_pages, self.v_pages, self.kv_aux, self.seen, last,
+                 lens, toks, act_first) = self._decode_fn(
+                        self.k_pages, self.v_pages, self.kv_aux, self.params,
+                        tables, self.seen,
+                        last, lens, host_last, host_lens,
+                        jnp.asarray(use_host), jnp.asarray(active), samp, key,
+                        min_toks, plens, *la,
+                    )
+        else:
+            with self.spans.span("decode_dispatch"):
+                (self.k_pages, self.v_pages, self.kv_aux, self.seen, last,
+                 lens, toks) = self._decode_fn(
+                        self.k_pages, self.v_pages, self.kv_aux, self.params,
+                        tables, self.seen,
+                        last, lens, host_last, host_lens,
+                        jnp.asarray(use_host), jnp.asarray(active), samp, key,
+                        min_toks, plens,
+                    )
         return {
             "active": active,
             "epochs": [s.epoch for s in self.slots],
             "last": last, "lens": lens, "toks": toks,
+            "act_first": act_first,
+            "acts": lane_plan["acts"] if lane_plan else [],
+            "lane_tokens_n": lane_plan["n_tokens"] if lane_plan else 0,
+            "chunk_id": self._chunk_seq,
             "t_dispatch": time.monotonic(),
         }
 
@@ -1252,6 +1531,37 @@ class Engine:
                 self._finish_slot(s)
             elif self.seq_lens[s.idx] + self.decode_chunk_len >= self.max_seq_len:
                 self._finish_slot(s, reason="length")
+        if h.get("acts"):
+            act_np = np.asarray(h["act_first"])
+            for a in h["acts"]:
+                e = a["entry"]
+                p = e["p"]
+                s = p["slot"]
+                if e.get("aborted") or s.epoch != a["epoch"] or s.req is None:
+                    continue
+                first = act_np[a["i"] : a["i"] + 1].astype(np.int64)
+                self.seq_lens[s.idx] = len(p["prompt"])
+                self.last_tok[s.idx] = int(first[0])
+                s.active = True
+                self._mark_dirty()
+                self._process_chunk(s, first)
+                self.stats["requests"] += 1
+                self.stats["prefill_tokens"] += len(p["suffix"])
+                if s.stop.finished \
+                        or len(p["prompt"]) + 1 >= self.max_seq_len:
+                    self._finish_slot(s)
+                e["done"] = True
+        if self._lane:
+            keep = []
+            for e in self._lane:
+                if e.get("done"):
+                    continue
+                if e.get("aborted") and e.get("last_sched", -1) <= h["chunk_id"]:
+                    self._abort_lane_entry(e)   # no in-flight chunk touches it
+                    continue
+                keep.append(e)
+            self._lane = keep
+        self.stats["lane_tokens"] += h.get("lane_tokens_n", 0)
         now = time.monotonic()
         self.stats["decode_tokens"] += n_new
         self.stats["decode_steps"] += 1

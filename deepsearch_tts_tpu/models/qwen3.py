@@ -180,6 +180,11 @@ def forward(
     attn_ablate: str | None = None,  # perf decomposition (micro_decode):
     #   "skip" = no scatter, attention returns zeros;
     #   "scatter_only" = write KV, attention returns zeros
+    lane_tokens: jax.Array | None = None,     # [Tp] in-flight prefill lane
+    lane_positions: jax.Array | None = None,  # [Tp]; <0 = padding
+    lane_table: jax.Array | None = None,      # [P] the lane sequence's pages
+    lane_seq_len: jax.Array | None = None,    # scalar: valid tokens incl lane
+    lane_logit_row: jax.Array | None = None,  # scalar: lane row to project
 ):
     """Run the decoder.
 
@@ -188,6 +193,15 @@ def forward(
     ``(logits [B,(T|1),V], (k_pages, v_pages))``.
     Training mode (pages None): full causal attention, returns
     ``(logits [B,T,V], None)``.
+
+    Prefill lane (decode T=1 only): ``lane_tokens`` ride the decode step as
+    ``Tp`` extra rows of ONE sequence — they share every weight read with
+    the HBM-bound decode pass (matmuls grow by Tp near-free rows), write
+    their KV through the same scatter, and attend causally over their own
+    pages via per-row query positions. The returned logits gain one row:
+    ``logits[B]`` is the ``lane_logit_row``-th lane token's projection (the
+    engine samples a just-completed prompt's first token from it). This is
+    how prompt prefill overlaps decode without a separate MXU-bound phase.
     """
     from ..engine.kvcache import (
         quantize_kv_rows,
@@ -197,6 +211,18 @@ def forward(
 
     serving = k_pages is not None
     kv_int8 = serving and k_scales is not None
+    lane = lane_tokens is not None
+    B_dec = tokens.shape[0]
+    if lane:
+        assert serving and tokens.shape[1] == 1 and not slot_decode \
+            and not fresh_prefill, "lane rides the paged decode step only"
+        Tp = lane_tokens.shape[0]
+        tokens = jnp.concatenate([tokens, lane_tokens[:, None]], axis=0)
+        positions = jnp.concatenate([positions, lane_positions[:, None]],
+                                    axis=0)
+        page_table = jnp.concatenate(
+            [page_table, jnp.broadcast_to(lane_table[None],
+                                          (Tp,) + lane_table.shape)], axis=0)
     x = jnp.take(params["embed"], tokens, axis=0)
     cos, sin = rope_angles(jnp.maximum(positions, 0), cfg.head_dim, cfg.rope_theta)
 
@@ -265,6 +291,26 @@ def forward(
                     v_ctx = jax.lax.dynamic_slice_in_dim(vw, layer * N, N, 0)
                     out = attn_ops.masked_context_attention(
                         q, k_ctx, v_ctx, seq_lens, jnp.maximum(positions, 0))
+                elif lane:
+                    # decode rows gather their (bucketed) tables; the lane's
+                    # Tp rows are ONE sequence — a single [1, Tp] attention
+                    # reads the lane table once, causal via per-row q
+                    # positions
+                    out_d = attn_ops.paged_attention(
+                        q[:B_dec], kw, vw, table_l[:B_dec], seq_lens,
+                        jnp.maximum(positions[:B_dec], 0),
+                        impl=impl, k_scales=ksw, v_scales=vsw,
+                    )
+                    H_, D_ = q.shape[2], q.shape[3]
+                    lane_tab_l = lane_table[None] + layer * N
+                    out_l = attn_ops.paged_attention(
+                        q[B_dec:].reshape(1, -1, H_, D_), kw, vw,
+                        lane_tab_l, lane_seq_len[None],
+                        jnp.maximum(lane_positions, 0)[None],
+                        impl=impl, k_scales=ksw, v_scales=vsw,
+                    )
+                    out = jnp.concatenate(
+                        [out_d, out_l.reshape(-1, 1, H_, D_)], axis=0)
                 else:
                     out = attn_ops.paged_attention(
                         q, kw, vw, table_l, seq_lens, jnp.maximum(positions, 0),
@@ -359,6 +405,12 @@ def forward(
         x, _ = jax.lax.scan(body, x, lp_stack)
 
     x = rms_norm(x, params["final_norm"], cfg.rms_eps)
+    if lane:
+        # project decode rows + the one lane row the engine may sample
+        # (the just-completed prompt's last token): logits row B_dec
+        lane_row = jax.lax.dynamic_index_in_dim(
+            x[B_dec:], lane_logit_row, axis=0, keepdims=True)
+        x = jnp.concatenate([x[:B_dec], lane_row], axis=0)
     if logits_indices is not None:
         x = jnp.take_along_axis(x, logits_indices[:, None, None], axis=1)  # [B,1,E]
     head = params.get("lm_head")

@@ -1,0 +1,131 @@
+"""In-flight chunked prefill (the engine's prefill lane).
+
+With ``prefill_lane=N``, prompts arriving while decode runs stream N
+tokens per decode step through the same forward pass instead of stalling
+decode with dedicated prefill dispatches (models/qwen3.forward lane args;
+engine _plan_lane/_lane_arrays). These tests pin: token-identical greedy
+outputs vs the lane-less engine, actual lane usage, multi-chunk prompts,
+aborts mid-stream, and cold-burst fallback to batched prefill.
+"""
+import threading
+
+import numpy as np
+import pytest
+
+from deepsearch_tts_tpu.engine.engine import Engine, GenerationRequest
+from deepsearch_tts_tpu.engine.tokenizer import ByteTokenizer
+from deepsearch_tts_tpu.models.qwen3 import QWEN3_CONFIGS, init_params
+
+import jax
+
+
+def _greedy(prompt_ids, max_tokens=8, **kw):
+    return GenerationRequest(prompt_ids=prompt_ids, max_tokens=max_tokens,
+                             temperature=0.0, repetition_penalty=1.0, **kw)
+
+
+@pytest.fixture(scope="module")
+def shared_params():
+    return init_params(QWEN3_CONFIGS["qwen3-test"], jax.random.PRNGKey(0))
+
+
+def _mk_engine(params, lane=0):
+    return Engine("qwen3-test", ByteTokenizer(), params=params, max_slots=4,
+                  page_size=4, n_pages=128, max_seq_len=128,
+                  decode_chunk_len=4, seed=0, prefill_lane=lane,
+                  enable_prefix_cache=False)
+
+
+def _run_staggered(eng):
+    """One long request starts decoding; three more arrive mid-decode."""
+    first_delta = threading.Event()
+    f0 = eng.submit(_greedy([1, 2, 3, 4, 5, 6], max_tokens=24,
+                            on_delta=lambda _t: first_delta.set()))
+    assert first_delta.wait(timeout=300)
+    prompts = [list(range(10, 10 + n)) for n in (5, 9, 14)]
+    futs = [eng.submit(_greedy(p, max_tokens=6)) for p in prompts]
+    return [f0.result(timeout=600)] + [f.result(timeout=600) for f in futs]
+
+
+def test_lane_outputs_match_laneless_engine(shared_params):
+    a = _mk_engine(shared_params, lane=0)
+    try:
+        want = _run_staggered(a)
+    finally:
+        a.shutdown()
+    b = _mk_engine(shared_params, lane=4)
+    try:
+        got = _run_staggered(b)
+        stats = dict(b.stats)
+    finally:
+        b.shutdown()
+    assert stats["lane_tokens"] > 0, "lane never engaged"
+    for w, g in zip(want, got):
+        assert w.token_ids == g.token_ids
+        assert g.finish_reason == w.finish_reason
+
+
+def test_lane_multi_chunk_prompt(shared_params):
+    """A prompt longer than lane_width x chunk spans several decode chunks
+    and still decodes correctly."""
+    long_prompt = list(np.random.default_rng(1).integers(1, 250, size=60))
+    a = _mk_engine(shared_params, lane=0)
+    try:
+        wref = a.generate(_greedy(long_prompt, max_tokens=6))
+        first_delta = threading.Event()
+        a.submit(_greedy([7, 8, 9], max_tokens=30,
+                         on_delta=lambda _t: first_delta.set()))
+        first_delta.wait(timeout=300)
+        want = a.generate(_greedy(long_prompt, max_tokens=6))
+        assert want.token_ids == wref.token_ids
+    finally:
+        a.shutdown()
+
+    b = _mk_engine(shared_params, lane=2)  # 2 tok/step x 4-step chunks
+    try:
+        first_delta = threading.Event()
+        b.submit(_greedy([7, 8, 9], max_tokens=30,
+                         on_delta=lambda _t: first_delta.set()))
+        assert first_delta.wait(timeout=300)
+        got = b.generate(_greedy(long_prompt, max_tokens=6))
+        assert b.stats["lane_tokens"] >= len(long_prompt)
+    finally:
+        b.shutdown()
+    assert got.token_ids == want.token_ids
+
+
+def test_lane_abort_mid_stream(shared_params):
+    eng = _mk_engine(shared_params, lane=2)
+    try:
+        first_delta = threading.Event()
+        f0 = eng.submit(_greedy([3, 4, 5], max_tokens=40,
+                                on_delta=lambda _t: first_delta.set()))
+        assert first_delta.wait(timeout=300)
+        victim = eng.submit(_greedy(list(range(20, 70)), max_tokens=6,
+                                    request_id="lane-victim"))
+        eng.abort("lane-victim")
+        assert f0.result(timeout=600).completion_tokens == 40
+        import concurrent.futures
+
+        with pytest.raises((concurrent.futures.CancelledError,)):
+            victim.result(timeout=600)
+        # engine healthy afterwards; no page leak
+        r = eng.generate(_greedy([9, 9, 9], max_tokens=4))
+        assert r.completion_tokens == 4
+        held = len(eng.allocator._refs)
+        assert eng.allocator.num_free + held == eng.n_pages - 1
+    finally:
+        eng.shutdown()
+
+
+def test_cold_burst_uses_batched_prefill(shared_params):
+    """With nothing decoding, a burst takes the batched prefill path (lane
+    admission requires active decode rows)."""
+    eng = _mk_engine(shared_params, lane=4)
+    try:
+        futs = eng.submit_many([_greedy([i, i + 1, i + 2], max_tokens=4)
+                                for i in range(4)])
+        rs = [f.result(timeout=600) for f in futs]
+        assert all(r.completion_tokens == 4 for r in rs)
+    finally:
+        eng.shutdown()
