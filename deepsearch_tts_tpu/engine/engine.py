@@ -273,7 +273,7 @@ class Engine:
 
         cfgv = self.cfg
         self.latent_cache = bool(getattr(cfgv, "latent_cache", False))
-        if kv_quantize not in (None, "int8"):
+        if kv_quantize not in (None, "int8", "int8-force"):
             raise ValueError(f"unknown kv_quantize {kv_quantize!r}")
         if kv_quantize:
             if "k_scales" not in inspect.signature(fam.forward).parameters:
@@ -281,6 +281,20 @@ class Engine:
                     f"model family {model_name!r} does not support int8 KV")
             if cache_mode == "slot" or self.latent_cache:
                 raise ValueError("int8 KV requires the paged cache mode")
+            from ..utils import is_tpu_backend
+
+            if kv_quantize == "int8" and is_tpu_backend():
+                # measured on v5e (1.5B, B=64): int8 KV decodes at 405-536
+                # tok/s vs 6400 bf16 — the XLA gather+dequant chain defeats
+                # the HBM savings on this chip regardless of storage layout
+                # (int8 rows and int32-packed words both measured). Refuse
+                # rather than silently serve 12-16x slower.
+                raise ValueError(
+                    "kv_quantize='int8' is 12-16x SLOWER than bf16 KV on "
+                    "this TPU (XLA gather+dequant path; see CLAUDE.md "
+                    "measurements). Pass kv_quantize='int8-force' only if "
+                    "HBM capacity matters more than throughput.")
+            kv_quantize = "int8"
         self.kv_quantize = kv_quantize
         # int8 pools are STORED as int32-packed words (4 lanes per word):
         # a raw int8 gather hits a scalar TPU path and a per-step bitcast of
