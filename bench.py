@@ -88,7 +88,11 @@ def main():
     # Pallas fused layer kernels: auto (engine decides) / 1=force / 0=off
     FUSED = {"1": True, "0": False}.get(os.environ.get("BENCH_FUSED", ""))
     PFG = os.environ.get("BENCH_PFGROUP")  # prefill rows per dispatch
-    MODE = os.environ.get("BENCH_MODE", "")  # "" | multiturn (prefix reuse)
+    MODE = os.environ.get("BENCH_MODE", "")  # "" | multiturn | sustained
+    # in-flight chunked prefill width (tokens per decode step); defaults on
+    # for the sustained mode, where prompts arrive while decode runs
+    LANE = int(os.environ.get("BENCH_LANE",
+                              16 if MODE == "sustained" else 0))
 
     from deepsearch_tts_tpu.engine.weights import fast_random_params
 
@@ -103,6 +107,7 @@ def main():
         attn_impl=ATTN, cache_mode=CACHE_MODE, quantize=QUANT,
         kv_quantize=KVQUANT, pack_weights=PACK, context_buckets=BUCKETS,
         layer_fusion=FUSED, max_prefill_group=int(PFG) if PFG else None,
+        prefill_lane=LANE,
     )
     init_s = time.monotonic() - t_init
 
@@ -128,12 +133,41 @@ def main():
     # several measured rounds: the axon tunnel has ±10-20% run-to-run
     # variance (CLAUDE.md); report the best round, keep all in detail
     multiturn = MODE == "multiturn"
+    sustained = MODE == "sustained"
     rounds = []
     for _ in range(int(os.environ.get("BENCH_ROUNDS", 3))):
         engine.stats.update(decode_tokens=0, decode_time_s=0.0,
                             decode_steps=0, prefill_tokens=0,
-                            prefill_time_s=0.0, requests=0)
+                            prefill_time_s=0.0, requests=0, lane_tokens=0)
         t0 = time.monotonic()
+        if sustained:
+            # steady-state serving: keep B in flight, refill on completion
+            # until 3B requests finish — new prompts prefill through the
+            # lane while the resident batch decodes
+            import queue as _q
+
+            total = 3 * B
+            doneq: _q.Queue = _q.Queue()
+            submitted = 0
+            for i in range(B):
+                engine.submit(req(i)).add_done_callback(doneq.put)
+                submitted += 1
+            results = []
+            while len(results) < total:
+                f = doneq.get(timeout=3600)
+                results.append(f.result())
+                if submitted < total:
+                    engine.submit(req(submitted)).add_done_callback(doneq.put)
+                    submitted += 1
+            wall = time.monotonic() - t0
+            st = engine.telemetry()
+            rounds.append({
+                "decode_tps": st["decode_tokens"] / max(st["decode_time_s"], 1e-9),
+                "e2e_tok_s": sum(r.completion_tokens for r in results) / wall,
+                "wall_s": wall, "stats": st,
+                "cached_prompt_tokens": 0,
+            })
+            continue
         reqs = [req(i) for i in range(B)]
         futs = engine.submit_many(reqs)
         results = [f.result(timeout=3600) for f in futs]
@@ -210,6 +244,8 @@ def main():
             "prefill_tok_s": round(st["prefill_tokens"] /
                                    max(st["prefill_time_s"], 1e-9), 1),
             "cached_prompt_tokens": best.get("cached_prompt_tokens", 0),
+            "prefill_lane": LANE,
+            "lane_tokens": st.get("lane_tokens", 0),
             "spans": st.get("spans", {}),
         },
     }))
