@@ -54,21 +54,43 @@ def main():
     on_tpu = any("tpu" in d.device_kind.lower() or "TPU" in d.device_kind
                  for d in jax.devices())
 
-    # ~1.5B-param dense model (qwen3-1.7b geometry, trimmed vocab: the vocab
-    # affects only the lm_head read). Decode on a model this size is honestly
-    # HBM-bound, so the roofline fraction reflects engine efficiency rather
-    # than fixed per-layer launch overhead.
-    cfg = Qwen3Config(vocab_size=32768, hidden=2048, n_layers=28, n_heads=16,
-                      n_kv_heads=8, head_dim=128, intermediate=6144,
-                      tie_embeddings=True)
-    if not on_tpu:
-        cfg = Qwen3Config(vocab_size=2048, hidden=256, n_layers=4, n_heads=4,
-                          n_kv_heads=2, head_dim=64, intermediate=512,
-                          tie_embeddings=True)
-    registry.register("bench-qwen3", cfg, qwen3.init_params, qwen3.forward,
-                      lambda cfg=cfg: qwen3.logical_axes(cfg))
-
     import os
+
+    MODEL = os.environ.get("BENCH_MODEL", "dense")  # dense | moe
+    if MODEL == "moe":
+        # ~2B-total MoE (Qwen3-MoE geometry scaled to one chip): all
+        # experts are touched at serving batch sizes, so the roofline's
+        # full-parameter read stays honest
+        from deepsearch_tts_tpu.models import qwen3_moe
+        from deepsearch_tts_tpu.models.qwen3_moe import Qwen3MoeConfig
+
+        cfg = Qwen3MoeConfig(vocab_size=32768, hidden=1024, n_layers=24,
+                             n_heads=16, n_kv_heads=8, head_dim=128,
+                             n_experts=32, top_k=4, moe_intermediate=512,
+                             tie_embeddings=True)
+        if not on_tpu:
+            cfg = Qwen3MoeConfig(vocab_size=2048, hidden=256, n_layers=4,
+                                 n_heads=4, n_kv_heads=2, head_dim=64,
+                                 n_experts=8, top_k=2, moe_intermediate=128,
+                                 tie_embeddings=True)
+        registry.register("bench-qwen3", cfg, qwen3_moe.init_params,
+                          qwen3_moe.forward,
+                          lambda cfg=cfg: qwen3_moe.logical_axes(cfg))
+    else:
+        # ~1.5B-param dense model (qwen3-1.7b geometry, trimmed vocab: the
+        # vocab affects only the lm_head read). Decode on a model this size
+        # is honestly HBM-bound, so the roofline fraction reflects engine
+        # efficiency rather than fixed per-layer launch overhead.
+        cfg = Qwen3Config(vocab_size=32768, hidden=2048, n_layers=28,
+                          n_heads=16, n_kv_heads=8, head_dim=128,
+                          intermediate=6144, tie_embeddings=True)
+        if not on_tpu:
+            cfg = Qwen3Config(vocab_size=2048, hidden=256, n_layers=4,
+                              n_heads=4, n_kv_heads=2, head_dim=64,
+                              intermediate=512, tie_embeddings=True)
+        registry.register("bench-qwen3", cfg, qwen3.init_params,
+                          qwen3.forward,
+                          lambda cfg=cfg: qwen3.logical_axes(cfg))
 
     B = int(os.environ.get("BENCH_BATCH", 64 if on_tpu else 2))
     PROMPT = int(os.environ.get("BENCH_PROMPT", 128))

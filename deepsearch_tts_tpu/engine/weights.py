@@ -104,25 +104,37 @@ def fast_random_params(model_name_or_cfg, seed: int = 0) -> dict:
         cfg = model_name_or_cfg
     rng = np.random.default_rng(seed)
     E, H, K, D, L = cfg.hidden, cfg.n_heads, cfg.n_kv_heads, cfg.head_dim, cfg.n_layers
-    F = cfg.intermediate
 
     def mk(*shape, fan_in=None):
         fan = fan_in if fan_in is not None else shape[-2] if len(shape) > 1 else shape[-1]
         a = rng.standard_normal(shape, dtype=np.float32) * (fan ** -0.5)
         return jnp.asarray(a, jnp.bfloat16)
 
+    layers = {
+        "ln1": jnp.ones((L, E), jnp.bfloat16),
+        "ln2": jnp.ones((L, E), jnp.bfloat16),
+        "q_norm": jnp.ones((L, D), jnp.bfloat16),
+        "k_norm": jnp.ones((L, D), jnp.bfloat16),
+        "wq": mk(L, E, H * D), "wk": mk(L, E, K * D), "wv": mk(L, E, K * D),
+        "wo": mk(L, H * D, E),
+    }
+    if hasattr(cfg, "n_experts"):     # Qwen3-MoE family
+        NE, F = cfg.n_experts, cfg.moe_intermediate
+        layers.update({
+            "router": mk(L, E, NE),
+            "w_gate": mk(L, NE, E, F, fan_in=E),
+            "w_up": mk(L, NE, E, F, fan_in=E),
+            "w_down": mk(L, NE, F, E, fan_in=F),
+        })
+    else:
+        F = cfg.intermediate
+        layers.update({
+            "w_gate": mk(L, E, F), "w_up": mk(L, E, F), "w_down": mk(L, F, E),
+        })
     params = {
         "embed": mk(cfg.vocab_size, E, fan_in=E),
         "final_norm": jnp.ones((E,), jnp.bfloat16),
-        "layers": {
-            "ln1": jnp.ones((L, E), jnp.bfloat16),
-            "ln2": jnp.ones((L, E), jnp.bfloat16),
-            "q_norm": jnp.ones((L, D), jnp.bfloat16),
-            "k_norm": jnp.ones((L, D), jnp.bfloat16),
-            "wq": mk(L, E, H * D), "wk": mk(L, E, K * D), "wv": mk(L, E, K * D),
-            "wo": mk(L, H * D, E), "w_gate": mk(L, E, F), "w_up": mk(L, E, F),
-            "w_down": mk(L, F, E),
-        },
+        "layers": layers,
     }
     if not cfg.tie_embeddings:
         params["lm_head"] = mk(E, cfg.vocab_size)
