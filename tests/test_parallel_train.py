@@ -156,3 +156,76 @@ def test_pipeline_parallel_matches_plain_forward(mesh8):
     pp_norm = float(jnp.sqrt(sum(jnp.sum(jnp.square(x.astype(jnp.float32)))
                                  for x in jax.tree.leaves(g_pp))))
     assert abs(ref_norm - pp_norm) / max(ref_norm, 1e-6) < 0.05
+
+
+def test_sft_data_pipeline(tmp_path):
+    """JSONL → tokenized batches with completion-only loss masks."""
+    from deepsearch_tts_tpu.engine.tokenizer import ByteTokenizer
+    from deepsearch_tts_tpu.train.data import batches, load_sft_examples
+
+    path = tmp_path / "sft.jsonl"
+    import json as _json
+
+    rows = [{"prompt": "Q: ab\nA:", "completion": " cd"},
+            {"text": "just text"},
+            {"prompt": "Q: x\nA:", "completion": " y"}]
+    path.write_text("\n".join(_json.dumps(r) for r in rows))
+
+    tk = ByteTokenizer()
+    exs = load_sft_examples(str(path), tk, max_len=32)
+    assert len(exs) == 3
+    # prompt tokens carry no loss; completion (+eos) does
+    e0 = exs[0]
+    assert e0.loss_start == len(tk.encode("Q: ab\nA:"))
+    assert e0.tokens[-1] == tk.eos_id
+
+    got = list(batches(exs, batch_size=2, seed=1, drop_remainder=True))
+    assert len(got) == 1
+    toks, mask = got[0]
+    assert toks.shape == mask.shape and toks.shape[0] == 2
+    for r in range(2):
+        n = int((toks[r] != 0).sum())
+        assert mask[r, :].sum() > 0
+        assert mask[r, n:].sum() == 0          # padding never in the loss
+
+    # pinned seq_len gives a static shape
+    (toks2, _), = batches(exs[:2], batch_size=2, seq_len=16, seed=0)
+    assert toks2.shape == (2, 16)
+
+
+def test_lr_schedule_shape():
+    from deepsearch_tts_tpu.train.trainer import lr_schedule
+
+    sched = lr_schedule(1e-3, total_steps=100, warmup_steps=10)
+    assert float(sched(0)) == 0.0
+    assert float(sched(10)) == pytest.approx(1e-3, rel=1e-5)
+    assert float(sched(100)) == pytest.approx(1e-4, rel=1e-2)
+    assert float(sched(55)) < float(sched(10))
+
+
+def test_train_loop_overfits_tiny_batch(tmp_path):
+    """The full SFT loop (schedule, eval, checkpoint) drives the loss down
+    on a repeated tiny batch and writes a checkpoint."""
+    from deepsearch_tts_tpu.engine.tokenizer import ByteTokenizer
+    from deepsearch_tts_tpu.parallel.mesh import make_mesh
+    from deepsearch_tts_tpu.train.data import SFTExample, batches
+    from deepsearch_tts_tpu.train.trainer import train_loop
+
+    tk = ByteTokenizer()
+    ids = np.asarray(tk.encode("hello world"), np.int32)
+    exs = [SFTExample(ids, 1)] * 4
+    train_iter = batches(exs, batch_size=4, seq_len=16, epochs=30, seed=0)
+    eval_b = list(batches(exs, batch_size=4, seq_len=16, seed=0))
+
+    mesh = make_mesh(tp=8)
+    with mesh:
+        state, history = train_loop(
+            "qwen3-test", mesh, train_iter, eval_batches=eval_b,
+            total_steps=12, learning_rate=5e-3, warmup_steps=2,
+            eval_every=6, checkpoint_dir=str(tmp_path / "ck"),
+            checkpoint_every=12, log_every=0)
+    assert len(history) == 12
+    assert history[-1]["loss"] < history[0]["loss"] * 0.8
+    assert "eval_loss" in history[5] and "eval_loss" in history[11]
+    assert history[11]["eval_loss"] <= history[5]["eval_loss"]
+    assert (tmp_path / "ck").exists()
