@@ -206,24 +206,29 @@ class Engine:
                        and fused_moe_vmem_ok(c, max_slots)
                        and getattr(c, "moe_impl", "") == "ragged")
             else:                                   # dense: full layer
+                from ..ops.fused_layer import fused_i8_vmem_ok
+
+                vm = (fused_i8_vmem_ok if quantize == "int8"
+                      else fused_vmem_ok)
                 fit = (c.head_dim % 128 == 0
                        and c.intermediate % 128 == 0
-                       and fused_vmem_ok(c, max_slots))
+                       and vm(c, max_slots))
+            is_dense = not (getattr(c, "latent_cache", False)
+                            or hasattr(c, "n_experts"))
             layer_fusion = (
                 _has_fused and is_tpu_backend() and mesh is None
-                and quantize is None
+                and (quantize is None or (quantize == "int8" and is_dense))
                 and c.hidden % 128 == 0
                 and fit)
         self.layer_fusion = bool(layer_fusion)
         if self.layer_fusion:
-            # fused decode kernels read the packed wqkv / w_gateup layout and
-            # bf16 weights; attention stays on the engine-selected path
+            # fused decode kernels read the packed wqkv / w_gateup layout
+            # (bf16 or int8+scales); attention stays on the engine path
             if not _has_fused:
                 raise ValueError(
                     f"model family {model_name!r} has no fused decode path")
-            if quantize is not None or mesh is not None:
-                raise ValueError(
-                    "layer_fusion requires bf16 single-chip serving")
+            if mesh is not None:
+                raise ValueError("layer_fusion requires single-chip serving")
             pack_weights = True
         if params is None:
             params = fam.init_params(self.cfg, jax.random.PRNGKey(seed))

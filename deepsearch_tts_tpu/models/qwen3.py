@@ -251,8 +251,8 @@ def forward(
 
         use_fused = (fused_decode and tokens.shape[1] == 1
                      and not fresh_prefill
-                     and "wqkv" in lp_stack and "w_gateup" in lp_stack
-                     and not isinstance(lp_stack["wqkv"], dict))
+                     and "wqkv" in lp_stack and "w_gateup" in lp_stack)
+        fused_i8 = use_fused and isinstance(lp_stack["wqkv"], dict)
 
         def body(carry, lp):
             if kv_int8:
@@ -329,22 +329,44 @@ def forward(
                 # stays on the engine-selected paged path.
                 from ..ops.fused_layer import (
                     fused_out_mlp_stacked,
+                    fused_out_mlp_stacked_i8,
                     fused_qkv_stacked,
+                    fused_qkv_stacked_i8,
                 )
 
-                qf, kf2, vf2 = fused_qkv_stacked(
-                    x[:, 0], lp_stack["ln1"], lp_stack["wqkv"],
-                    lp_stack["q_norm"], lp_stack["k_norm"],
-                    cos[:, 0], sin[:, 0], layer,
-                    n_heads=H, n_kv=K, head_dim=D, eps=cfg.rms_eps)
+                if fused_i8:
+                    # int8 weight blocks + per-channel scales stream through
+                    # the BlockSpecs; half the weight HBM per step
+                    qf, kf2, vf2 = fused_qkv_stacked_i8(
+                        x[:, 0], lp_stack["ln1"], lp_stack["wqkv"]["q"],
+                        lp_stack["wqkv"]["scales"], lp_stack["q_norm"],
+                        lp_stack["k_norm"], cos[:, 0], sin[:, 0], layer,
+                        n_heads=H, n_kv=K, head_dim=D, eps=cfg.rms_eps)
+                else:
+                    qf, kf2, vf2 = fused_qkv_stacked(
+                        x[:, 0], lp_stack["ln1"], lp_stack["wqkv"],
+                        lp_stack["q_norm"], lp_stack["k_norm"],
+                        cos[:, 0], sin[:, 0], layer,
+                        n_heads=H, n_kv=K, head_dim=D, eps=cfg.rms_eps)
                 q = qf.reshape(B, 1, H, D).astype(x.dtype)
                 k = kf2.reshape(B, 1, K, D).astype(x.dtype)
                 v = vf2.reshape(B, 1, K, D).astype(x.dtype)
                 o, kpf, vpf, ksf, vsf = attend(q, k, v)
-                x = fused_out_mlp_stacked(
-                    o.reshape(B, H * D).astype(x.dtype), x[:, 0],
-                    lp_stack["wo"], lp_stack["ln2"], lp_stack["w_gateup"],
-                    lp_stack["w_down"], layer, eps=cfg.rms_eps)[:, None, :]
+                if fused_i8:
+                    x = fused_out_mlp_stacked_i8(
+                        o.reshape(B, H * D).astype(x.dtype), x[:, 0],
+                        lp_stack["wo"]["q"], lp_stack["wo"]["scales"],
+                        lp_stack["ln2"], lp_stack["w_gateup"]["q"],
+                        lp_stack["w_gateup"]["scales"],
+                        lp_stack["w_down"]["q"],
+                        lp_stack["w_down"]["scales"], layer,
+                        eps=cfg.rms_eps)[:, None, :]
+                else:
+                    x = fused_out_mlp_stacked(
+                        o.reshape(B, H * D).astype(x.dtype), x[:, 0],
+                        lp_stack["wo"], lp_stack["ln2"],
+                        lp_stack["w_gateup"], lp_stack["w_down"], layer,
+                        eps=cfg.rms_eps)[:, None, :]
                 if kv_int8:
                     return (x, kpf, vpf, ksf, vsf, layer + 1), None
                 return (x, kpf, vpf, layer + 1), None

@@ -559,6 +559,254 @@ def fused_mlp_vmem_ok(E: int, F: int, batch: int) -> bool:
                for cand in (768, 512, 384, 256, 128))
 
 
+def _qkv_stacked_kernel_i8(l_ref, x_ref, ln_ref, w_ref, s_ref, qn_ref,
+                           kn_ref, cos_ref, sin_ref, o_ref, xn_ref,
+                           *, eps: float, n_heads: int, n_kv: int,
+                           head_dim: int, block_c: int):
+    """int8-weight variant of :func:`_qkv_stacked_kernel`: the wqkv block
+    streams as int8 (half the HBM bytes — decode's binding resource) and
+    dequantizes on the fly via the per-output-channel scales block."""
+    del l_ref
+    j = pl.program_id(0)
+    D = head_dim
+
+    @pl.when(j == 0)
+    def _init():
+        xn_ref[:] = _rms_norm_f32(x_ref[:], ln_ref[0, 0], eps).astype(xn_ref.dtype)
+
+    y = jnp.dot(xn_ref[:], w_ref[0].astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32)
+    y = y * s_ref[0, 0][None, :]
+    B = y.shape[0]
+    heads = block_c // D
+    yh = y.reshape(B, heads, D)
+
+    HD, KD = n_heads * D, n_kv * D
+    c0 = j * block_c
+    is_q = c0 < HD
+    needs_rope = c0 < HD + KD
+
+    w_norm = jnp.where(is_q, qn_ref[0, 0], kn_ref[0, 0]).astype(jnp.float32)
+    var = jnp.mean(yh * yh, axis=-1, keepdims=True)
+    normed = yh * jax.lax.rsqrt(var + eps) * w_norm
+    half = D // 2
+    y1, y2 = normed[..., :half], normed[..., half:]
+    cos = cos_ref[:].astype(jnp.float32)[:, None, :]
+    sin = sin_ref[:].astype(jnp.float32)[:, None, :]
+    roped = jnp.concatenate([y1 * cos - y2 * sin, y2 * cos + y1 * sin],
+                            axis=-1)
+    out = jnp.where(needs_rope, roped, yh)
+    o_ref[:] = out.reshape(B, block_c).astype(o_ref.dtype)
+
+
+def fused_qkv_stacked_i8(x, ln_all, wqkv_q, wqkv_s, qn_all, kn_all, cos, sin,
+                         layer, *, n_heads: int, n_kv: int, head_dim: int,
+                         eps: float = 1e-6, interpret: bool | None = None):
+    """:func:`fused_qkv_stacked` over int8 weight stacks
+    (ops/quant.quantize_params layout: q [L, E, C] int8, scales
+    [L, 1, C] f32)."""
+    if interpret is None:
+        from ..utils import is_tpu_backend
+
+        interpret = not is_tpu_backend()
+    B, E = x.shape
+    D = head_dim
+    HD, KD = n_heads * D, n_kv * D
+    C = HD + 2 * KD
+    L = wqkv_q.shape[0]
+    bc = D
+    for cand in range(D, min(2049, KD + 1), D):
+        if HD % cand == 0 and KD % cand == 0 \
+                and 2 * E * cand <= 9 * 2**20:     # int8: 1 byte/elem
+            bc = cand
+    n_blocks = C // bc
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((B, E), lambda j, l: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, E), lambda j, l: (l[0], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, E, bc), lambda j, l: (l[0], 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bc), lambda j, l: (l[0], 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, D), lambda j, l: (l[0], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, D), lambda j, l: (l[0], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, D // 2), lambda j, l: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, D // 2), lambda j, l: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((B, bc), lambda j, l: (0, j),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((B, E), x.dtype)],
+    )
+    out = pl.pallas_call(
+        functools.partial(_qkv_stacked_kernel_i8, eps=eps, n_heads=n_heads,
+                          n_kv=n_kv, head_dim=D, block_c=bc),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, C), x.dtype),
+        interpret=interpret,
+    )(jnp.asarray(layer, jnp.int32).reshape(1), x, ln_all.reshape(L, 1, E),
+      wqkv_q, wqkv_s.reshape(L, 1, C).astype(jnp.float32),
+      qn_all.reshape(L, 1, D), kn_all.reshape(L, 1, D), cos, sin)
+    return out[:, :HD], out[:, HD:HD + KD], out[:, HD + KD:]
+
+
+def _out_mlp_stacked_kernel_i8(l_ref, a_ref, x_ref, wo_ref, wos_ref, ln_ref,
+                               wg_ref, wgs_ref, wu_ref, wus_ref, wd_ref,
+                               wds_ref, o_ref, x2_ref, xn_ref, acc_ref,
+                               *, eps: float, n_wo_blocks: int,
+                               n_f_blocks: int):
+    del l_ref
+    j = pl.program_id(0)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when(j < n_wo_blocks)
+    def _wo():
+        y = jnp.dot(a_ref[:], wo_ref[0].astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32)
+        y = y * wos_ref[0, 0][None, :]
+        E = x2_ref.shape[1]
+        eb = E // n_wo_blocks
+        x2_ref[:, pl.ds(j * eb, eb)] = (
+            x_ref[:, pl.ds(j * eb, eb)].astype(jnp.float32) + y
+        ).astype(x2_ref.dtype)
+
+    @pl.when(j == n_wo_blocks)
+    def _norm():
+        xn_ref[:] = _rms_norm_f32(x2_ref[:], ln_ref[0, 0], eps).astype(xn_ref.dtype)
+
+    @pl.when(j > n_wo_blocks)
+    def _mlp():
+        xn = xn_ref[:]
+        g = jnp.dot(xn, wg_ref[0].astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32) * wgs_ref[0, 0][None, :]
+        u = jnp.dot(xn, wu_ref[0].astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32) * wus_ref[0, 0][None, :]
+        h = (jax.nn.silu(g) * u).astype(xn.dtype)
+        y = jnp.dot(h, wd_ref[0].astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32)
+        acc_ref[:] += y * wds_ref[0, 0][None, :]
+
+    @pl.when(j == n_wo_blocks + n_f_blocks)
+    def _fin():
+        o_ref[:] = (x2_ref[:].astype(jnp.float32) + acc_ref[:]).astype(o_ref.dtype)
+
+
+def fused_out_mlp_stacked_i8(attn_out, x, wo_q, wo_s, ln_all, gateup_q,
+                             gateup_s, wd_q, wd_s, layer, *,
+                             eps: float = 1e-6,
+                             interpret: bool | None = None):
+    """:func:`fused_out_mlp_stacked` over int8 weight stacks with on-the-fly
+    dequant. wo_q: [L, HD, E] int8 + wo_s [L, 1, E]; gateup_q: [L, E, 2F]
+    + gateup_s [L, 1, 2F]; wd_q: [L, F, E] + wd_s [L, 1, E]."""
+    if interpret is None:
+        from ..utils import is_tpu_backend
+
+        interpret = not is_tpu_backend()
+    B, E = x.shape
+    HD = attn_out.shape[1]
+    L, _, F2 = gateup_q.shape
+    F = F2 // 2
+    act_bytes = B * (HD * 2 + E * 2 * 4 + E * 4)
+    budget = 13 * 2**20 - act_bytes
+    eb = None
+    for cand in (512, 384, 256, 128):
+        if E % cand == 0 and 2 * HD * cand <= max(budget // 4, 1):
+            eb = cand
+            break
+    fb = None
+    if eb is not None:
+        for cand in (768, 512, 384, 256, 128):
+            if F % cand == 0 and 3 * E * cand <= budget - 2 * HD * eb:
+                fb = cand
+                break
+    if eb is None or fb is None:
+        raise ValueError(
+            f"fused_out_mlp_stacked_i8 cannot fit VMEM at E={E} F={F} "
+            f"HD={HD} batch={B}")
+    n_wo = E // eb
+    n_f = F // fb
+    grid = n_wo + 1 + n_f
+
+    def wo_map(j, l):
+        return (l[0], 0, jnp.minimum(j, n_wo - 1))
+
+    def fblk(j):
+        return jnp.clip(j - n_wo - 1, 0, n_f - 1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((B, HD), lambda j, l: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, E), lambda j, l: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, HD, eb), wo_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, eb),
+                         lambda j, l: (l[0], 0, jnp.minimum(j, n_wo - 1)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, E), lambda j, l: (l[0], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, E, fb), lambda j, l: (l[0], 0, fblk(j)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, fb), lambda j, l: (l[0], 0, fblk(j)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, E, fb), lambda j, l: (l[0], 0, fblk(j) + n_f),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, fb), lambda j, l: (l[0], 0, fblk(j) + n_f),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, fb, E), lambda j, l: (l[0], fblk(j), 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, E), lambda j, l: (l[0], 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((B, E), lambda j, l: (0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((B, E), x.dtype),
+            pltpu.VMEM((B, E), x.dtype),
+            pltpu.VMEM((B, E), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_out_mlp_stacked_kernel_i8, eps=eps,
+                          n_wo_blocks=n_wo, n_f_blocks=n_f),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, E), x.dtype),
+        interpret=interpret,
+    )(jnp.asarray(layer, jnp.int32).reshape(1), attn_out, x,
+      wo_q, wo_s.reshape(L, 1, E).astype(jnp.float32),
+      ln_all.reshape(L, 1, E),
+      gateup_q, gateup_s.reshape(L, 1, F2).astype(jnp.float32),
+      gateup_q, gateup_s.reshape(L, 1, F2).astype(jnp.float32),
+      wd_q, wd_s.reshape(L, 1, E).astype(jnp.float32))
+
+
+def fused_i8_vmem_ok(cfg, batch: int) -> bool:
+    """Gate for the int8 fused decode kernels (dense family)."""
+    E, F = cfg.hidden, cfg.intermediate
+    HD = cfg.n_heads * cfg.head_dim
+    act_bytes = batch * (HD * 2 + E * 2 * 4 + E * 4)
+    budget = 13 * 2**20 - act_bytes
+    eb = next((c for c in (512, 384, 256, 128)
+               if E % c == 0 and 2 * HD * c <= max(budget // 4, 1)), None)
+    if eb is None:
+        return False
+    return any(F % c == 0 and 3 * E * c <= budget - 2 * HD * eb
+               for c in (768, 512, 384, 256, 128))
+
+
 def _out_router_stacked_kernel(l_ref, a_ref, x_ref, wo_ref, ln_ref, r_ref,
                                x2_ref, hn_ref, rl_ref,
                                *, eps: float, n_wo_blocks: int):

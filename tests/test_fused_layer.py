@@ -302,3 +302,65 @@ def test_vmem_gate_matches_block_chooser():
                 jnp.zeros((2, 5120, 2 * 17408), jnp.bfloat16),
                 jnp.zeros((2, 17408, 5120), jnp.bfloat16),
                 jnp.int32(0), interpret=True)
+
+
+def test_fused_stacked_i8_matches_xla_int8():
+    """int8 fused decode kernels (blocks + scales in the BlockSpecs) match
+    the XLA int8 chain (interpret mode)."""
+    from deepsearch_tts_tpu.ops.fused_layer import (
+        fused_out_mlp_stacked_i8,
+        fused_qkv_stacked_i8,
+    )
+    from deepsearch_tts_tpu.ops.quant import int8_matmul, quantize_params
+
+    L, Bq, Eq, Fq, Hq, Kq, Dq = 2, 4, 256, 384, 2, 2, 128
+    ks = jax.random.split(jax.random.PRNGKey(9), 8)
+    rnd = lambda k, s: (jax.random.normal(k, s, jnp.float32) * 0.05
+                        ).astype(jnp.bfloat16)
+    x = rnd(ks[0], (Bq, Eq))
+    ln1 = jnp.ones((L, Eq), jnp.bfloat16)
+    wqkv = rnd(ks[1], (L, Eq, (Hq + 2 * Kq) * Dq))
+    qn = jnp.ones((L, Dq), jnp.bfloat16)
+    kn = jnp.ones((L, Dq), jnp.bfloat16)
+    positions = jnp.arange(Bq, dtype=jnp.int32)[:, None]
+    cos, sin = rope_angles(positions, Dq, 1e6)
+    qp = quantize_params({"layers": {"wqkv": wqkv}})["layers"]["wqkv"]
+
+    q_i8, k_i8, v_i8 = fused_qkv_stacked_i8(
+        x, ln1, qp["q"], qp["scales"], qn, kn, cos[:, 0], sin[:, 0],
+        jnp.int32(1), n_heads=Hq, n_kv=Kq, head_dim=Dq, eps=EPS,
+        interpret=True)
+
+    # XLA int8 reference for the v section (no norm/rope applied to v)
+    h = rms_norm(x, ln1[1], EPS)
+    ref = int8_matmul(h, qp["q"][1], qp["scales"][1])
+    v_ref = ref[:, (Hq + Kq) * Dq:]
+    np.testing.assert_allclose(np.asarray(v_i8, np.float32),
+                               np.asarray(v_ref, np.float32),
+                               rtol=0.06, atol=0.03)
+
+    wo = rnd(ks[2], (L, Hq * Dq, Eq))
+    gateup = rnd(ks[3], (L, Eq, 2 * Fq))
+    wd = rnd(ks[4], (L, Fq, Eq))
+    ln2 = jnp.ones((L, Eq), jnp.bfloat16)
+    a = rnd(ks[5], (Bq, Hq * Dq))
+    qs = quantize_params({"layers": {"wo": wo, "w_gateup": gateup,
+                                     "w_down": wd}})["layers"]
+    out = fused_out_mlp_stacked_i8(
+        a, x, qs["wo"]["q"], qs["wo"]["scales"], ln2,
+        qs["w_gateup"]["q"], qs["w_gateup"]["scales"],
+        qs["w_down"]["q"], qs["w_down"]["scales"], jnp.int32(0), eps=EPS,
+        interpret=True)
+
+    o = int8_matmul(a, qs["wo"]["q"][0], qs["wo"]["scales"][0])
+    x2 = (x.astype(jnp.float32) + o.astype(jnp.float32)).astype(jnp.bfloat16)
+    hh = rms_norm(x2, ln2[0], EPS)
+    gu = int8_matmul(hh, qs["w_gateup"]["q"][0], qs["w_gateup"]["scales"][0])
+    g, u = gu[:, :Fq].astype(jnp.float32), gu[:, Fq:].astype(jnp.float32)
+    mlp = int8_matmul((jax.nn.silu(g) * u).astype(jnp.bfloat16),
+                      qs["w_down"]["q"][0], qs["w_down"]["scales"][0])
+    ref = (x2.astype(jnp.float32) + mlp.astype(jnp.float32)
+           ).astype(jnp.bfloat16)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=0.06, atol=0.03)

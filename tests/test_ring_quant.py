@@ -188,3 +188,37 @@ def test_int8_kv_rejected_for_unsupported_modes():
     with _pytest.raises(ValueError, match="paged cache"):
         Engine("qwen3-test", ByteTokenizer(), params=params, max_slots=2,
                cache_mode="slot", kv_quantize="int8", max_seq_len=64)
+
+
+def test_int8_fused_engine_matches_unfused():
+    """quantize='int8' with forced layer_fusion (int8 fused kernels,
+    interpret mode on CPU) tracks the unfused int8 engine greedily."""
+    import jax
+
+    from deepsearch_tts_tpu.engine.engine import Engine, GenerationRequest
+    from deepsearch_tts_tpu.engine.tokenizer import ByteTokenizer
+    from deepsearch_tts_tpu.models.qwen3 import Qwen3Config, init_params
+    from deepsearch_tts_tpu.models import qwen3, registry
+
+    cfg = Qwen3Config(vocab_size=256, hidden=128, n_layers=2, n_heads=2,
+                      n_kv_heads=2, head_dim=128, intermediate=256,
+                      tie_embeddings=True)
+    registry.register("qwen3-i8fuse-test", cfg, qwen3.init_params,
+                      qwen3.forward,
+                      lambda cfg=cfg: qwen3.logical_axes(cfg))
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    req = lambda: GenerationRequest(prompt_ids=[5, 6, 7, 8], max_tokens=6,
+                                    temperature=0.0, repetition_penalty=1.0)
+
+    a = Engine("qwen3-i8fuse-test", ByteTokenizer(), params=params,
+               max_slots=2, page_size=4, n_pages=32, max_seq_len=32,
+               decode_chunk_len=2, quantize="int8", pack_weights=True)
+    want = a.generate(req()).token_ids
+    a.shutdown()
+
+    b = Engine("qwen3-i8fuse-test", ByteTokenizer(), params=params,
+               max_slots=2, page_size=4, n_pages=32, max_seq_len=32,
+               decode_chunk_len=2, quantize="int8", layer_fusion=True)
+    got = b.generate(req()).token_ids
+    b.shutdown()
+    assert got == want
