@@ -81,13 +81,21 @@ def paged_attention(
     (T=1). XLA path materializes the gathered KV — fine for tests/small
     batches; the Pallas kernel streams pages HBM→VMEM instead.
     """
-    if impl in ("pallas", "pallas2"):
-        from .paged_attention import pallas_paged_attention, pallas_paged_decode
+    if impl in ("pallas", "pallas2", "clamp"):
+        from .paged_attention import (
+            pallas_paged_attention,
+            pallas_paged_decode,
+            pallas_paged_decode_clamp,
+        )
 
-        # "pallas2": per-slot page-streaming decode kernel. Measured slower
-        # than the (B,P)-grid kernel on v5e (DMA latency dominates the tiny
-        # per-page compute; the grid version gets cross-step pipelining for
-        # free), so it is opt-in.
+        # "clamp": exact per-row page reads via DMA-eliding clamped index
+        # maps (decode only). "pallas2": per-slot page-streaming decode
+        # kernel — measured slower than the (B,P)-grid kernel on v5e (DMA
+        # latency dominates the tiny per-page compute), opt-in.
+        if impl == "clamp" and q.shape[1] == 1:
+            return pallas_paged_decode_clamp(
+                q, k_pages, v_pages, page_table, seq_lens, scale=scale
+            )
         if impl == "pallas2" and q.shape[1] == 1:
             return pallas_paged_decode(
                 q, k_pages, v_pages, page_table, seq_lens, scale=scale

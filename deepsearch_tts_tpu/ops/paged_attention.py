@@ -215,6 +215,110 @@ def pallas_paged_decode(
     return out.reshape(B, 1, K, G, D).reshape(B, 1, H, D)
 
 
+def _clamped_decode_kernel(tables_ref, lens_ref, used_ref, q_ref, k_ref,
+                           v_ref, o_ref, m_ref, l_ref, acc_ref,
+                           *, scale: float, page_size: int, n_kv: int,
+                           group: int):
+    """(B, P)-grid decode kernel whose page index maps CLAMP at each row's
+    last used page: Mosaic skips the DMA when a block index repeats, so
+    rows pay for exactly ``ceil(ctx/ps)`` page reads — no bucket padding,
+    no [B, S] gather materialization."""
+    b = pl.program_id(0)
+    p = pl.program_id(1)
+    np_ = pl.num_programs(1)
+    ps = page_size
+
+    @pl.when(p == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    seq_len = lens_ref[b]
+
+    @pl.when(p * ps < seq_len)
+    def _compute():
+        q = q_ref[0].astype(jnp.float32) * scale
+        k = k_ref[0].astype(jnp.float32)
+        v = v_ref[0].astype(jnp.float32)
+        kf = k.reshape(ps * n_kv, -1)
+        vf = v.reshape(ps * n_kv, -1)
+        s = jax.lax.dot_general(q, kf, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        row_kv = (row_ids // group) % n_kv
+        col_kv = col_ids % n_kv
+        tok_pos = p * ps + col_ids // n_kv
+        mask = (col_kv == row_kv) & (tok_pos < seq_len)
+        s = jnp.where(mask, s, NEG_INF)
+        m_new = jnp.maximum(m_ref[:], jnp.max(s, axis=1, keepdims=True))
+        pexp = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_ref[:] - m_new)
+        l_ref[:] = l_ref[:] * alpha + jnp.sum(pexp, axis=1, keepdims=True)
+        pv = jax.lax.dot_general(pexp, vf, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        acc_ref[:] = acc_ref[:] * alpha + pv
+        m_ref[:] = m_new
+
+    @pl.when(p == np_ - 1)
+    def _fin():
+        o_ref[0] = (acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)).astype(o_ref.dtype)
+
+
+def pallas_paged_decode_clamp(
+    q: jax.Array,            # [B, 1, H, D]
+    k_pages: jax.Array,      # [N, ps, K, D]
+    v_pages: jax.Array,
+    page_table: jax.Array,   # [B, P]
+    seq_lens: jax.Array,     # [B]
+    *, scale: float | None = None, interpret: bool | None = None,
+) -> jax.Array:
+    """Decode attention with exact per-row page reads (see kernel above)."""
+    B, T, H, D = q.shape
+    assert T == 1
+    N, ps, K, _ = k_pages.shape
+    P = page_table.shape[1]
+    G = H // K
+    scale = scale if scale is not None else D ** -0.5
+    if interpret is None:
+        from ..utils import is_tpu_backend
+
+        interpret = not is_tpu_backend()
+
+    qf = q.reshape(B, 1, K, G, D).reshape(B, H, D)
+    used = jnp.maximum(-(-seq_lens // ps), 1)
+
+    def page_map(b, p, tables, lens, used):
+        return (tables[b * P + jnp.minimum(p, used[b] - 1)], 0, 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(B, P),
+        in_specs=[
+            pl.BlockSpec((1, H, D), lambda b, p, *r: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ps, K, D), page_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ps, K, D), page_map, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, H, D), lambda b, p, *r: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((H, 1), jnp.float32),
+            pltpu.VMEM((H, 1), jnp.float32),
+            pltpu.VMEM((H, D), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_clamped_decode_kernel, scale=scale, page_size=ps,
+                          n_kv=K, group=G),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, H, D), q.dtype),
+        interpret=interpret,
+    )(page_table.reshape(-1), seq_lens, used, qf, k_pages, v_pages)
+    return out.reshape(B, 1, K, G, D).reshape(B, 1, H, D)
+
+
 def pallas_paged_attention(
     q: jax.Array,            # [B, T, H, D]
     k_pages: jax.Array,      # [N, ps, K, D]

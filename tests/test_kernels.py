@@ -103,3 +103,29 @@ def test_paged_decode_v2_matches_xla():
     out = pallas_paged_decode(q, k_pages, v_pages, table, seq_lens, interpret=True)
     np.testing.assert_allclose(np.asarray(ref, np.float32),
                                np.asarray(out, np.float32), rtol=5e-2, atol=5e-2)
+
+
+def test_clamped_decode_matches_xla():
+    """Exact-read clamped decode kernel vs the XLA gather (interpret)."""
+    import numpy as _np
+
+    from deepsearch_tts_tpu.ops.attention import paged_attention
+    from deepsearch_tts_tpu.ops.paged_attention import pallas_paged_decode_clamp
+
+    B, K, G, D, ps, P = 3, 2, 2, 32, 4, 4
+    H = K * G
+    rng = _np.random.default_rng(3)
+    N = B * P + 1
+    kp = jnp.asarray(rng.standard_normal((N, ps, K, D)) * 0.3, jnp.bfloat16)
+    vp = jnp.asarray(rng.standard_normal((N, ps, K, D)) * 0.3, jnp.bfloat16)
+    table = jnp.asarray(
+        _np.arange(1, B * P + 1, dtype=_np.int32).reshape(B, P))
+    lens = jnp.asarray([5, 16, 9], jnp.int32)   # partial/full/odd pages
+    q = jnp.asarray(rng.standard_normal((B, 1, H, D)) * 0.3, jnp.bfloat16)
+    qpos = (lens - 1)[:, None]
+
+    want = paged_attention(q, kp, vp, table, lens, qpos, impl="xla")
+    got = pallas_paged_decode_clamp(q, kp, vp, table, lens, interpret=True)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               rtol=0.05, atol=0.02)
