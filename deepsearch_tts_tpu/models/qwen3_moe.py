@@ -157,11 +157,29 @@ def forward(
     ring_mesh=None,
     ring_axis: str = "tp",
     fused_decode: bool = False,  # T=1 Pallas attention-side kernels
+    lane_tokens: jax.Array | None = None,     # in-flight prefill lane
+    lane_positions: jax.Array | None = None,  # (see models/qwen3.forward)
+    lane_table: jax.Array | None = None,
+    lane_seq_len: jax.Array | None = None,
+    lane_logit_row: jax.Array | None = None,
 ):
-    """Same contract as models/qwen3.forward (serving + training modes)."""
+    """Same contract as models/qwen3.forward (serving + training modes),
+    including the decode-step prefill lane."""
     from ..engine.kvcache import write_kv_flat
 
     serving = k_pages is not None
+    lane = lane_tokens is not None
+    B_dec = tokens.shape[0]
+    if lane:
+        assert serving and tokens.shape[1] == 1 and not slot_decode \
+            and not fresh_prefill, "lane rides the paged decode step only"
+        Tp = lane_tokens.shape[0]
+        tokens = jnp.concatenate([tokens, lane_tokens[:, None]], axis=0)
+        positions = jnp.concatenate([positions, lane_positions[:, None]],
+                                    axis=0)
+        page_table = jnp.concatenate(
+            [page_table, jnp.broadcast_to(lane_table[None],
+                                          (Tp,) + lane_table.shape)], axis=0)
     x = jnp.take(params["embed"], tokens, axis=0)
     cos, sin = rope_angles(jnp.maximum(positions, 0), cfg.head_dim, cfg.rope_theta)
     H, K, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
@@ -216,6 +234,18 @@ def forward(
                     v_ctx = jax.lax.dynamic_slice_in_dim(vw, layer * N, N, 0)
                     out = attn_ops.masked_context_attention(
                         q, k_ctx, v_ctx, seq_lens, jnp.maximum(positions, 0))
+                elif lane:
+                    out_d = attn_ops.paged_attention(
+                        q[:B_dec], kw, vw, table_l[:B_dec], seq_lens,
+                        jnp.maximum(positions[:B_dec], 0), impl=impl)
+                    H_, D_ = q.shape[2], q.shape[3]
+                    lane_tab_l = lane_table[None] + layer * N
+                    out_l = attn_ops.paged_attention(
+                        q[B_dec:].reshape(1, -1, H_, D_), kw, vw,
+                        lane_tab_l, lane_seq_len[None],
+                        jnp.maximum(lane_positions, 0)[None], impl=impl)
+                    out = jnp.concatenate(
+                        [out_d, out_l.reshape(-1, 1, H_, D_)], axis=0)
                 else:
                     out = attn_ops.paged_attention(
                         q, kw, vw, table_l, seq_lens, jnp.maximum(positions, 0),
@@ -283,6 +313,10 @@ def forward(
         x, _ = jax.lax.scan(body, x, params["layers"])
 
     x = rms_norm(x, params["final_norm"], cfg.rms_eps)
+    if lane:
+        lane_row = jax.lax.dynamic_index_in_dim(
+            x[B_dec:], lane_logit_row, axis=0, keepdims=True)
+        x = jnp.concatenate([x[:B_dec], lane_row], axis=0)
     if logits_indices is not None:
         x = jnp.take_along_axis(x, logits_indices[:, None, None], axis=1)
     head = params.get("lm_head")

@@ -129,3 +129,42 @@ def test_cold_burst_uses_batched_prefill(shared_params):
         assert all(r.completion_tokens == 4 for r in rs)
     finally:
         eng.shutdown()
+
+
+def test_lane_moe_family():
+    """The MoE family supports the lane too (same contract): staggered
+    outputs match the lane-less MoE engine."""
+    from deepsearch_tts_tpu.models.qwen3_moe import (
+        QWEN3_MOE_CONFIGS,
+        init_params as moe_init,
+    )
+
+    params = moe_init(QWEN3_MOE_CONFIGS["qwen3-moe-test"],
+                      jax.random.PRNGKey(0))
+
+    def mk(lane):
+        return Engine("qwen3-moe-test", ByteTokenizer(), params=params,
+                      max_slots=3, page_size=4, n_pages=64, max_seq_len=64,
+                      decode_chunk_len=4, seed=0, prefill_lane=lane,
+                      enable_prefix_cache=False)
+
+    def run(eng):
+        first = threading.Event()
+        f0 = eng.submit(_greedy([1, 2, 3], max_tokens=16,
+                                on_delta=lambda _t: first.set()))
+        assert first.wait(timeout=300)
+        f1 = eng.submit(_greedy(list(range(20, 31)), max_tokens=5))
+        return f0.result(timeout=600).token_ids, f1.result(timeout=600).token_ids
+
+    a = mk(0)
+    try:
+        want = run(a)
+    finally:
+        a.shutdown()
+    b = mk(4)
+    try:
+        got = run(b)
+        assert b.stats["lane_tokens"] > 0
+    finally:
+        b.shutdown()
+    assert got == want
