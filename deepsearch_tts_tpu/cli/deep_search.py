@@ -81,6 +81,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--engine_page_size", type=int, default=64)
     p.add_argument("--engine_pages", type=int, default=4096)
     p.add_argument("--engine_max_seq_len", type=int, default=8192)
+    p.add_argument("--engine_prefill_lane", type=int, default=16,
+                   help="in-flight chunked prefill width (0 = off): "
+                        "re-entering trajectories prefill through decode "
+                        "steps instead of stalling them")
     p.add_argument("--engine_warmup", type=int, default=0,
                    help="pre-compile engine programs for this prompt length")
     p.add_argument("--engine_tp", type=int, default=0,
@@ -133,6 +137,7 @@ def make_clients(args):
         model_name, tok, params=params, mesh=mesh,
         max_slots=args.engine_max_slots, page_size=args.engine_page_size,
         n_pages=args.engine_pages, max_seq_len=args.engine_max_seq_len,
+        prefill_lane=args.engine_prefill_lane,
     )
     if args.engine_warmup:
         engine.warmup(prompt_lens=(args.engine_warmup,))

@@ -29,6 +29,10 @@ def main(argv=None):
     p.add_argument("--decode_chunk", type=int, default=8)
     p.add_argument("--tp", type=int, default=0,
                    help="tensor-parallel ways (0 = single chip)")
+    p.add_argument("--prefill_lane", type=int, default=16,
+                   help="in-flight chunked prefill width: prompt tokens "
+                        "streamed per decode step while decode runs "
+                        "(0 = dedicated prefill dispatches only)")
     p.add_argument("--warmup", type=int, default=0, metavar="PROMPT_LEN",
                    help="pre-compile the serving programs for this prompt "
                         "length before accepting requests (first-request "
@@ -53,7 +57,8 @@ def main(argv=None):
                     max_slots=args.max_slots,
                     page_size=args.page_size, n_pages=args.pages,
                     max_seq_len=args.max_seq_len,
-                    decode_chunk_len=args.decode_chunk)
+                    decode_chunk_len=args.decode_chunk,
+                    prefill_lane=args.prefill_lane)
     if args.warmup:
         print(f"warming serving programs (prompt_len={args.warmup})...")
         engine.warmup(prompt_lens=(args.warmup,))
