@@ -1,17 +1,29 @@
 """Pallas TPU paged attention (decode and chunked-prefill over a paged KV
 cache).
 
-The scheduler hands each sequence a page table; this kernel streams exactly
-the pages a sequence uses from HBM into VMEM — no [B, S, K, D] gather is
-ever materialized (the XLA fallback in ops/attention.py does materialize it,
-which is why this kernel is the serving hot path).
+STATUS — DEMOTED to opt-in (measured, v5e via axon, 1.5B geometry):
+XLA's gather+attention chain wins decode at every shape tried, so the
+engine defaults to ``attn_impl="xla"`` and these kernels stay for A/B and
+other parts/toolchains:
+
+* grid kernel (B,P): 2668 tok/s unbucketed (r1); 5599 in-engine with
+  bucketed tables (r2) vs 6300-6470 XLA.
+* stream kernel (per-row DMA pipeline): ~3770 (r1).
+* clamp kernel (exact per-row reads via DMA-eliding index maps, r3):
+  194µs/layer vs XLA's 140µs at B=64/ctx192/ps64 — 259GB/s achieved vs
+  XLA's ~480GB/s; the 128KB-page DMA latency dominates the tiny per-page
+  compute.
+* long context (ctx 2048): 1270 vs 1371 XLA — the gather runs at the
+  chip's gather bandwidth (~560GB/s measured probe) and is already ~fully
+  fused; there is almost nothing left to win in-kernel on this part.
 
 Mechanics: ``PrefetchScalarGridSpec`` prefetches the flattened page table so
 the k/v BlockSpec index maps can translate grid coordinates (b, p) into
 physical page ids before the kernel body runs; Pallas double-buffers the
 page DMAs across the sequential p steps. Online softmax state persists in
 VMEM scratch per batch row; pages past a sequence's length are predicated
-off (their index maps resolve to the reserved null page 0).
+off (their index maps resolve to the reserved null page 0, or repeat the
+previous block in the clamp variant so Mosaic elides the DMA).
 """
 from __future__ import annotations
 
