@@ -943,8 +943,10 @@ class Engine:
     # so small loads keep small dispatches.
     MAX_PREFILL_GROUP = 16
     # prefill-lane prompts that may COMPLETE (and sample a first token) per
-    # decode chunk; more simply wait for the next chunk
-    LANE_MAX_ACT = 4
+    # decode chunk; more simply wait for the next chunk. Sized to the
+    # steady-state churn at chunk 32 (a full batch of 128-token generations
+    # finishes ~8 rows per chunk)
+    LANE_MAX_ACT = 8
     # cap rows x bucket per dispatch: the fresh-prefill causal path scores
     # [G, H, T, T] in f32, so unchecked long buckets at full group width
     # exhaust HBM (16 x 2048 tokens = ~4GB of scores)
@@ -1030,12 +1032,25 @@ class Engine:
 
         if self.prefill_lane and (any(s.active for s in self.slots)
                                   or self._lane or self._pending is not None):
-            # decode is running (or about to): stream these prompts through
-            # the lane instead of stalling decode with dedicated prefill
-            # dispatches. Cold bursts (nothing active) keep the batched
-            # prefill path below — it saturates the MXU, the lane doesn't.
-            self._lane.extend({"p": p, "off": 0} for p in prepared)
-            return True
+            # decode is running (or about to): stream prompts through the
+            # lane instead of stalling decode — but only up to what one
+            # chunk can absorb. Overflow (high churn: completions outpace
+            # the lane) falls through to batched prefill, which processes a
+            # backlog at MXU rate with one short stall. Cold bursts
+            # (nothing active) always take the batched path.
+            backlog = sum(len(e["p"]["suffix"]) - e["off"]
+                          for e in self._lane if not e.get("aborted"))
+            cap = self.decode_chunk_len * self.prefill_lane
+            overflow = []
+            for p in prepared:
+                if backlog < cap:
+                    self._lane.append({"p": p, "off": 0})
+                    backlog += len(p["suffix"])
+                else:
+                    overflow.append(p)
+            if not overflow:
+                return True
+            prepared = overflow
 
         groups: dict[int, list] = {}
         for p in prepared:
