@@ -115,6 +115,9 @@ def main():
     # for the sustained mode, where prompts arrive while decode runs
     LANE = int(os.environ.get("BENCH_LANE",
                               16 if MODE == "sustained" else 0))
+    # lane completions per chunk; 0 = engine default. Steady-state churn is
+    # max_slots*chunk/mean_decode completions per chunk.
+    LANE_ACT = int(os.environ.get("BENCH_LANE_ACT", 0)) or None
 
     from deepsearch_tts_tpu.engine.weights import fast_random_params
 
@@ -129,7 +132,7 @@ def main():
         attn_impl=ATTN, cache_mode=CACHE_MODE, quantize=QUANT,
         kv_quantize=KVQUANT, pack_weights=PACK, context_buckets=BUCKETS,
         layer_fusion=FUSED, max_prefill_group=int(PFG) if PFG else None,
-        prefill_lane=LANE,
+        prefill_lane=LANE, lane_max_act=LANE_ACT,
     )
     init_s = time.monotonic() - t_init
 
@@ -137,11 +140,20 @@ def main():
 
     rng = np.random.default_rng(0)
 
-    def req(i):
+    def req(i, n_tokens=None):
         ids = rng.integers(0, cfg.vocab_size, size=PROMPT).tolist()
-        return GenerationRequest(prompt_ids=ids, max_tokens=DECODE,
+        return GenerationRequest(prompt_ids=ids,
+                                 max_tokens=n_tokens or DECODE,
                                  temperature=0.7, top_k=20, top_p=0.8,
                                  min_p=0.05, repetition_penalty=1.05)
+
+    def stag(i):
+        # staggered decode lengths (mean ≈ DECODE) for steady-state rounds:
+        # uniform max_tokens makes the whole batch complete on the same
+        # chunk, which degenerates sustained serving into repeated cold
+        # bursts (no slot active at admission → the prefill lane never
+        # engages)
+        return DECODE // 2 + (i * 37) % DECODE
 
     # warmup: compile decode + the prefill group shapes the run will use
     # (group-of-8 fused prefill+sample, group-of-1 leftovers), then one real
@@ -152,44 +164,52 @@ def main():
                         prefill_tokens=0, prefill_time_s=0.0, requests=0)
     engine.spans.reset()
 
+    def reset_stats(eng):
+        eng.stats.update(decode_tokens=0, decode_time_s=0.0,
+                         decode_steps=0, prefill_tokens=0,
+                         prefill_time_s=0.0, requests=0, lane_tokens=0)
+
+    def sustained_round(eng, nslots, total):
+        # steady-state serving: keep nslots in flight, refill on completion
+        # until `total` requests finish — new prompts prefill through the
+        # lane while the resident batch decodes
+        import queue as _q
+
+        reset_stats(eng)
+        t0 = time.monotonic()
+        doneq: _q.Queue = _q.Queue()
+        submitted = 0
+        for i in range(nslots):
+            eng.submit(req(i, stag(i))).add_done_callback(doneq.put)
+            submitted += 1
+        results = []
+        while len(results) < total:
+            f = doneq.get(timeout=3600)
+            results.append(f.result())
+            if submitted < total:
+                eng.submit(req(submitted, stag(submitted))) \
+                    .add_done_callback(doneq.put)
+                submitted += 1
+        wall = time.monotonic() - t0
+        st = eng.telemetry()
+        return {
+            "decode_tps": st["decode_tokens"] / max(st["decode_time_s"], 1e-9),
+            "e2e_tok_s": sum(r.completion_tokens for r in results) / wall,
+            "wall_s": wall, "stats": st,
+            "cached_prompt_tokens": 0,
+        }
+
     # several measured rounds: the axon tunnel has ±10-20% run-to-run
     # variance (CLAUDE.md); report the best round, keep all in detail
     multiturn = MODE == "multiturn"
     sustained = MODE == "sustained"
     rounds = []
     for _ in range(int(os.environ.get("BENCH_ROUNDS", 3))):
-        engine.stats.update(decode_tokens=0, decode_time_s=0.0,
-                            decode_steps=0, prefill_tokens=0,
-                            prefill_time_s=0.0, requests=0, lane_tokens=0)
-        t0 = time.monotonic()
         if sustained:
-            # steady-state serving: keep B in flight, refill on completion
-            # until 3B requests finish — new prompts prefill through the
-            # lane while the resident batch decodes
-            import queue as _q
-
-            total = 3 * B
-            doneq: _q.Queue = _q.Queue()
-            submitted = 0
-            for i in range(B):
-                engine.submit(req(i)).add_done_callback(doneq.put)
-                submitted += 1
-            results = []
-            while len(results) < total:
-                f = doneq.get(timeout=3600)
-                results.append(f.result())
-                if submitted < total:
-                    engine.submit(req(submitted)).add_done_callback(doneq.put)
-                    submitted += 1
-            wall = time.monotonic() - t0
-            st = engine.telemetry()
-            rounds.append({
-                "decode_tps": st["decode_tokens"] / max(st["decode_time_s"], 1e-9),
-                "e2e_tok_s": sum(r.completion_tokens for r in results) / wall,
-                "wall_s": wall, "stats": st,
-                "cached_prompt_tokens": 0,
-            })
+            rounds.append(sustained_round(engine, B, 3 * B))
             continue
+        reset_stats(engine)
+        t0 = time.monotonic()
         reqs = [req(i) for i in range(B)]
         futs = engine.submit_many(reqs)
         results = [f.result(timeout=3600) for f in futs]
@@ -240,7 +260,71 @@ def main():
     achievable_tps = B / (step_bytes / (560e9 if on_tpu else chip_bw_bytes()))
     vs_achievable = decode_tps / achievable_tps
 
-    engine.shutdown()
+    eng_info = {
+        "attn_impl": engine.attn_impl, "cache_mode": engine.cache_mode,
+        "quantize": engine.quantize, "kv_quantize": engine.kv_quantize,
+        "layer_fusion": engine.layer_fusion,
+    }
+
+    # Deployment configuration (VERDICT r2 #5): the ratio-optimal B=64 is
+    # the headline (BASELINE.md's ≥50%-of-roofline gate), but deployments
+    # chasing raw tok/s serve at a larger batch with the prefill lane on.
+    # Measure that config too: one burst round + one steady-state
+    # (sustained) round at B=96 / prefill_lane=16.
+    deployment = None
+    if (on_tpu and not multiturn and not sustained
+            and os.environ.get("BENCH_DEPLOY", "1") != "0"):
+        engine.shutdown()
+        del engine  # free the B=64 KV pools before the larger engine inits
+        import gc
+
+        gc.collect()
+        try:
+            DB = int(os.environ.get("BENCH_DEPLOY_BATCH", 96))
+            t_d = time.monotonic()
+            dep = Engine(
+                "bench-qwen3", ByteTokenizer(), params=params,
+                max_slots=DB, page_size=PS, n_pages=DB * (SEQLEN // PS) + 1,
+                max_seq_len=SEQLEN, decode_chunk_len=CHUNK, seed=0,
+                attn_impl=ATTN, cache_mode=CACHE_MODE, quantize=QUANT,
+                kv_quantize=KVQUANT, pack_weights=PACK,
+                context_buckets=BUCKETS, layer_fusion=FUSED,
+                max_prefill_group=int(PFG) if PFG else None,
+                prefill_lane=int(os.environ.get("BENCH_DEPLOY_LANE", 16)),
+                lane_max_act=LANE_ACT or 16)
+            dep.warmup(prompt_lens=(PROMPT,))
+            dep.generate(req(-2))
+            dep_init_s = time.monotonic() - t_d
+            reset_stats(dep)
+            t0 = time.monotonic()
+            dres = [f.result(timeout=3600)
+                    for f in dep.submit_many([req(i) for i in range(DB)])]
+            dwall = time.monotonic() - t0
+            dst = dep.telemetry()
+            burst_tps = dst["decode_tokens"] / max(dst["decode_time_s"], 1e-9)
+            burst_e2e = sum(r.completion_tokens for r in dres) / dwall
+            sus = sustained_round(dep, DB, 2 * DB)
+            dep_step_bytes = pbytes + DB * avg_ctx * kv_bytes_per_tok
+            dep_roof = DB / (dep_step_bytes / chip_bw_bytes())
+            deployment = {
+                "batch": DB, "prefill_lane": dep.prefill_lane,
+                "lane_max_act": dep.LANE_MAX_ACT,
+                "init_s": round(dep_init_s, 2),
+                "burst_decode_tps": round(burst_tps, 1),
+                "burst_e2e_tok_s": round(burst_e2e, 1),
+                "sustained_decode_tps": round(sus["decode_tps"], 1),
+                "sustained_e2e_tok_s": round(sus["e2e_tok_s"], 1),
+                "sustained_e2e_over_decode": round(
+                    sus["e2e_tok_s"] / max(sus["decode_tps"], 1e-9), 4),
+                "roofline_tok_s": round(dep_roof, 1),
+                "vs_roofline": round(burst_tps / dep_roof, 4),
+                "lane_tokens": sus["stats"].get("lane_tokens", 0),
+            }
+            dep.shutdown()
+        except Exception as e:  # deployment phase must not kill the bench
+            deployment = {"error": repr(e)}
+    else:
+        engine.shutdown()
     print(json.dumps({
         "metric": "decode_tokens_per_sec",
         "value": round(decode_tps, 2),
@@ -258,17 +342,14 @@ def main():
                         "e2e_tok_s": round(r["e2e_tok_s"], 1)}
                        for r in rounds],
             "device": str(jax.devices()[0]),
-            "attn_impl": engine.attn_impl,
-            "cache_mode": engine.cache_mode,
-            "quantize": engine.quantize,
-            "kv_quantize": engine.kv_quantize,
-            "layer_fusion": engine.layer_fusion,
+            **eng_info,
             "prefill_tok_s": round(st["prefill_tokens"] /
                                    max(st["prefill_time_s"], 1e-9), 1),
             "cached_prompt_tokens": best.get("cached_prompt_tokens", 0),
             "prefill_lane": LANE,
             "lane_tokens": st.get("lane_tokens", 0),
             "spans": st.get("spans", {}),
+            "deployment": deployment,
         },
     }))
 

@@ -148,6 +148,10 @@ class Engine:
         #   in dedicated batched dispatches. Lane admission only engages
         #   while decode rows are active — cold bursts still take the fast
         #   batched-prefill path.
+        lane_max_act: int | None = None,  # lane prompts that may COMPLETE
+        #   (sample their first token in-program) per decode chunk; default
+        #   LANE_MAX_ACT. Size to the expected churn: completions per chunk
+        #   ≈ max_slots * decode_chunk_len / mean_decode_len.
         seed: int = 0,
         enable_prefix_cache: bool = True,
     ):
@@ -393,6 +397,8 @@ class Engine:
         self._dev_cache: dict[str, tuple[int, Any]] = {}
         self._queue: "queue.Queue[tuple[GenerationRequest, Future]]" = queue.Queue()
         self.prefill_lane = int(prefill_lane or 0)
+        if lane_max_act:  # instance override of the class default
+            self.LANE_MAX_ACT = int(lane_max_act)
         if self.prefill_lane:
             if cache_mode == "slot":
                 raise ValueError("prefill_lane requires the paged cache")

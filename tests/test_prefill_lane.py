@@ -118,6 +118,28 @@ def test_lane_abort_mid_stream(shared_params):
         eng.shutdown()
 
 
+def test_lane_max_act_override(shared_params):
+    """lane_max_act sizes in-program activations per chunk to the expected
+    churn; outputs stay identical to the lane-less engine at any value."""
+    a = _mk_engine(shared_params, lane=0)
+    try:
+        want = _run_staggered(a)
+    finally:
+        a.shutdown()
+    b = Engine("qwen3-test", ByteTokenizer(), params=shared_params,
+               max_slots=4, page_size=4, n_pages=128, max_seq_len=128,
+               decode_chunk_len=4, seed=0, prefill_lane=4, lane_max_act=2,
+               enable_prefix_cache=False)
+    try:
+        assert b.LANE_MAX_ACT == 2 and Engine.LANE_MAX_ACT == 8
+        got = _run_staggered(b)
+        assert b.stats["lane_tokens"] > 0
+    finally:
+        b.shutdown()
+    for w, g in zip(want, got):
+        assert w.token_ids == g.token_ids
+
+
 def test_cold_burst_uses_batched_prefill(shared_params):
     """With nothing decoding, a burst takes the batched prefill path (lane
     admission requires active decode rows)."""
