@@ -99,6 +99,55 @@ def scan_sample(logits, seen, key):
 timeit(f"scan_sampling V={VOCAB}",
        lambda: scan_sample(logits0, seen0, jax.random.PRNGKey(1)))
 
+# 2b) sampler decomposition (MB_SAMPLE=1): which [B,V] pass dominates?
+if os.environ.get("MB_SAMPLE", "0") == "1":
+    from deepsearch_tts_tpu.engine.sampling import apply_repetition_penalty
+
+    def scan_of(step_fn):
+        @jax.jit
+        def run(logits, seen, key):
+            def step(carry, k):
+                seen, tok = carry
+                nxt = step_fn(logits, seen, k)
+                seen = update_seen(seen, nxt)
+                return (seen, nxt), None
+            keys = jax.random.split(key, STEPS)
+            (seen, tok), _ = jax.lax.scan(step, (seen, tok0), keys)
+            return tok
+        return lambda: run(logits0, seen0, jax.random.PRNGKey(1))
+
+    def s_window(w):
+        return lambda logits, seen, k: sample(logits, sp, seen, k, window=w)
+
+    def s_no_penalty(logits, seen, k):
+        sp0 = sp._replace(repetition_penalty=jnp.ones_like(sp.repetition_penalty))
+        return sample(logits, sp0, seen, k)
+
+    def s_argmax(logits, seen, k):
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    def s_elementwise_reduce(logits, seen, k):
+        # penalty + temp scale + full-vocab exp-sum: the non-approx passes
+        x = apply_repetition_penalty(logits, seen, sp.repetition_penalty)
+        x = x / jnp.maximum(sp.temperature, 1e-6)[:, None]
+        return jnp.sum(jnp.exp(x - jnp.max(x, axis=-1, keepdims=True)),
+                       axis=-1).astype(jnp.int32) % VOCAB
+
+    def s_approx_only(logits, seen, k):
+        vals, idx = jax.lax.approx_max_k(logits, 128, recall_target=1.0)
+        return idx[:, 0].astype(jnp.int32)
+
+    def s_approx32(logits, seen, k):
+        vals, idx = jax.lax.approx_max_k(logits, 32, recall_target=1.0)
+        return idx[:, 0].astype(jnp.int32)
+
+    for name, fn in (("full_w128", s_window(128)), ("full_w32", s_window(32)),
+                     ("no_penalty", s_no_penalty), ("argmax", s_argmax),
+                     ("elementwise_reduce", s_elementwise_reduce),
+                     ("approx_only_k128", s_approx_only),
+                     ("approx_only_k32", s_approx32)):
+        timeit(f"sample[{name}] V={VOCAB}", scan_of(fn))
+
 # 3) the engine's real decode chunk (forward + sample + seen)
 @jax.jit
 def scan_full(params, kp, vp, seen, key):
