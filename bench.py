@@ -161,13 +161,15 @@ def main():
     engine.warmup(prompt_lens=(PROMPT,))
     engine.generate(req(-1))
     engine.stats.update(decode_tokens=0, decode_time_s=0.0, decode_steps=0,
-                        prefill_tokens=0, prefill_time_s=0.0, requests=0)
+                        prefill_tokens=0, prefill_time_s=0.0, requests=0,
+                        slot_steps=0, prefill_dispatches=0, prefill_rows=0)
     engine.spans.reset()
 
     def reset_stats(eng):
         eng.stats.update(decode_tokens=0, decode_time_s=0.0,
                          decode_steps=0, prefill_tokens=0,
-                         prefill_time_s=0.0, requests=0, lane_tokens=0)
+                         prefill_time_s=0.0, requests=0, lane_tokens=0,
+                         slot_steps=0, prefill_dispatches=0, prefill_rows=0)
 
     def sustained_round(eng, nslots, total):
         # steady-state serving: keep nslots in flight, refill on completion
@@ -348,6 +350,13 @@ def main():
             "cached_prompt_tokens": best.get("cached_prompt_tokens", 0),
             "prefill_lane": LANE,
             "lane_tokens": st.get("lane_tokens", 0),
+            # decode occupancy: fraction of dispatched row-steps that
+            # produced a kept token (1 - idle slots - trimmed overrun)
+            "occupancy": round(st["decode_tokens"]
+                               / max(st.get("slot_steps", 0), 1), 4),
+            "prefill_group_mean": round(
+                st.get("prefill_rows", 0)
+                / max(st.get("prefill_dispatches", 0), 1), 2),
             "spans": st.get("spans", {}),
             "deployment": deployment,
         },

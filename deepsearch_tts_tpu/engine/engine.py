@@ -426,6 +426,10 @@ class Engine:
             "requests": 0, "prefill_tokens": 0, "decode_tokens": 0,
             "decode_steps": 0, "decode_time_s": 0.0, "prefill_time_s": 0.0,
             "preemptions": 0, "lane_tokens": 0,
+            # occupancy diagnostics: dispatched row-steps (active rows x
+            # chunk per decode dispatch — the ceiling on decode_tokens) and
+            # batched-prefill dispatch count/rows (group-size health)
+            "slot_steps": 0, "prefill_dispatches": 0, "prefill_rows": 0,
         }
         # high-water mark for non-overlapping prefill-time accounting: under
         # two-phase admission all groups dispatch back-to-back before any
@@ -1283,6 +1287,8 @@ class Engine:
                 jnp.asarray(rows), self.seen, jnp.asarray(seen_rows), samp,
                 jnp.asarray(pad(self.min_tokens[srows])), sk,
             )
+        self.stats["prefill_dispatches"] += 1
+        self.stats["prefill_rows"] += G
         return {"grp": grp, "first": first, "t0": t0}
 
     def _prefill_group_process(self, h: dict) -> None:
@@ -1539,6 +1545,7 @@ class Engine:
                         jnp.asarray(use_host), jnp.asarray(active), samp, key,
                         min_toks, plens,
                     )
+        self.stats["slot_steps"] += int(active.sum()) * chunk
         return {
             "active": active,
             "epochs": [s.epoch for s in self.slots],
