@@ -880,11 +880,24 @@ class Engine:
                 else:
                     nxt = None
                     if self.pipeline_decode and not self._aborts \
-                            and self._can_speculate(self._pending):
+                            and self._can_speculate(self._pending) \
+                            and not self._churn_imminent(self._pending):
                         nxt = self._dispatch_decode(carry=self._pending)
+                    freed_before = sum(1 for s in self.slots
+                                       if not s.active and s.req is None)
                     self._process_decode(self._pending)
                     self._pending = nxt
                     self._apply_aborts()
+                    freed = sum(1 for s in self.slots
+                                if not s.active and s.req is None)
+                    if freed > freed_before and self._queue.empty() \
+                            and not self._deferred:
+                        # closed-loop clients resubmit from the completion
+                        # callback we just fired — give that thread handoff
+                        # a moment so the refill rides THIS admission
+                        # instead of idling a full chunk
+                        self._wake.wait(timeout=0.002)
+                        self._wake.clear()
                     self._admit()
             except Exception as e:  # engine-step crash: fail in-flight work loudly
                 import traceback
@@ -1434,6 +1447,24 @@ class Engine:
                 continue
             if s.stop.max_tokens - s.stop.n_tokens > chunk \
                     and int(self.seq_lens[s.idx]) + 2 * chunk < self.max_seq_len:
+                return True
+        return False
+
+    def _churn_imminent(self, h: dict) -> bool:
+        """Will a slot complete during the outstanding chunk? If so, skip
+        the speculative dispatch: a speculated chunk is traced before the
+        completion is processed, so the freed slot (and its closed-loop
+        refill) would ride it inactive — one whole idle chunk per refill,
+        which at steady-state churn costs far more row-steps than the
+        dispatch round trip that speculation hides."""
+        chunk = self.decode_chunk_len
+        for s in self.slots:
+            if not s.active or not h["active"][s.idx] \
+                    or h["epochs"][s.idx] != s.epoch:
+                continue
+            if s.stop.max_tokens - s.stop.n_tokens <= chunk \
+                    or int(self.seq_lens[s.idx]) + 2 * chunk \
+                    >= self.max_seq_len:
                 return True
         return False
 
