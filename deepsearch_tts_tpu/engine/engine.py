@@ -140,7 +140,11 @@ class Engine:
         #   (padded to pow2; default 8 — larger groups amortize the per-
         #   dispatch fixed cost when bursts of same-bucket prompts arrive)
         ring_prefill_len: int | None = None,  # fresh prefills >= this length
-        # run ring attention over the mesh's tp axis (sp aliases tp)
+        # run sequence-parallel attention over the mesh's tp axis (sp
+        # aliases tp)
+        sp_impl: str = "ring",  # long-prefill SP strategy: "ring" rotates
+        #   K/V blocks over ICI (ops/ring_attention.py); "ulysses"
+        #   re-partitions seq->heads with two all_to_alls (ops/ulysses.py)
         prefill_lane: int = 0,  # in-flight chunked prefill: ride this many
         #   prompt tokens on every decode step (Sarathi/vLLM-style chunked
         #   prefill, fused into the decode program so prompts stream through
@@ -389,6 +393,7 @@ class Engine:
 
         self.pipeline_decode = pipeline_decode
         self.ring_prefill_len = ring_prefill_len
+        self.sp_impl = sp_impl
         self._pending = None           # in-flight decode chunk (see _dispatch)
         self._last_decode_end = 0.0    # pipelined decode_time accounting
         # device copies of slow-changing host state; re-uploaded only after
@@ -646,7 +651,7 @@ class Engine:
             return self._jit_cache[key]
         bucket, Gp, fresh, ring = key
         cfg, fwd = self.cfg, self.forward
-        impl = "ring" if ring else self.attn_impl
+        impl = self.sp_impl if ring else self.attn_impl
         ring_kw = {"ring_mesh": self.mesh, "ring_axis": "tp"} if ring else {}
         eos_id = self.tokenizer.eos_id if self.tokenizer.eos_id is not None else -1
 

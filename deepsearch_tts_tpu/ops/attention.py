@@ -50,6 +50,10 @@ def causal_attention(
         from .ring_attention import ring_attention
         return ring_attention(q, k, v, mesh=ring_mesh, axis=ring_axis,
                               scale=scale)
+    if impl == "ulysses" and ring_mesh is not None:
+        from .ulysses import ulysses_attention
+        return ulysses_attention(q, k, v, mesh=ring_mesh, axis=ring_axis,
+                                 scale=scale)
     if impl == "pallas":
         from .flash_attention import flash_attention
         return flash_attention(q, k, v, scale=scale, causal=True)
