@@ -56,8 +56,32 @@ def main():
 
     import os
 
-    MODEL = os.environ.get("BENCH_MODEL", "dense")  # dense | moe
-    if MODEL == "moe":
+    MODEL = os.environ.get("BENCH_MODEL", "dense")  # dense | moe | mla
+    if MODEL == "mla":
+        # ~1.3B MLA+MoE (DeepSeek-V3/Kimi geometry scaled to one chip):
+        # latent KV cache (1 row/token), routed+shared experts — all
+        # touched at serving batch, so the full-parameter roofline read
+        # stays honest
+        from deepsearch_tts_tpu.models import deepseek_v3
+        from deepsearch_tts_tpu.models.deepseek_v3 import DeepSeekV3Config
+
+        cfg = DeepSeekV3Config(
+            vocab_size=32768, hidden=1024, n_layers=24, n_heads=16,
+            q_lora_rank=512, kv_lora_rank=256, qk_nope_head_dim=64,
+            qk_rope_head_dim=32, v_head_dim=64, dense_intermediate=4096,
+            first_k_dense=2, n_routed_experts=32, n_shared_experts=1,
+            moe_intermediate=512, top_k=4, n_group=4, topk_group=2,
+            tie_embeddings=True)
+        if not on_tpu:
+            from deepsearch_tts_tpu.models.deepseek_v3 import (
+                DEEPSEEK_V3_CONFIGS,
+            )
+
+            cfg = DEEPSEEK_V3_CONFIGS["deepseek-v3-test"]
+        registry.register("bench-qwen3", cfg, deepseek_v3.init_params,
+                          deepseek_v3.forward,
+                          lambda cfg=cfg: deepseek_v3.logical_axes(cfg))
+    elif MODEL == "moe":
         # ~2B-total MoE (Qwen3-MoE geometry scaled to one chip): all
         # experts are touched at serving batch sizes, so the roofline's
         # full-parameter read stays honest
@@ -251,7 +275,9 @@ def main():
     pbytes = count_param_bytes(engine.params)
     kv_elem = 1 if KVQUANT == "int8" else 2
     kv_scale = 4 / cfg.head_dim if KVQUANT == "int8" else 0  # f32/row scales
-    kv_bytes_per_tok = int(2 * cfg.n_layers * cfg.n_kv_heads
+    # latent-cache models (MLA) store ONE latent row per token (no v pool)
+    kv_streams = 1 if getattr(cfg, "latent_cache", False) else 2
+    kv_bytes_per_tok = int(kv_streams * cfg.n_layers * cfg.n_kv_heads
                            * cfg.head_dim * (kv_elem + kv_scale))
     avg_ctx = PROMPT + DECODE / 2
     step_bytes = pbytes + B * avg_ctx * kv_bytes_per_tok

@@ -110,6 +110,54 @@ def fast_random_params(model_name_or_cfg, seed: int = 0) -> dict:
         a = rng.standard_normal(shape, dtype=np.float32) * (fan ** -0.5)
         return jnp.asarray(a, jnp.bfloat16)
 
+    if hasattr(cfg, "kv_lora_rank"):  # DeepSeek-V3/Kimi MLA family
+        QL, KL = cfg.q_lora_rank, cfg.kv_lora_rank
+        QN, QR, VD = cfg.qk_nope_head_dim, cfg.qk_rope_head_dim, cfg.v_head_dim
+        NE, F, FD = (cfg.n_routed_experts, cfg.moe_intermediate,
+                     cfg.dense_intermediate)
+        SH = cfg.n_shared_experts
+        LD = cfg.first_k_dense
+        LM = L - LD
+
+        def attn(nl):
+            return {
+                "ln1": jnp.ones((nl, E), jnp.bfloat16),
+                "ln2": jnp.ones((nl, E), jnp.bfloat16),
+                "w_qa": mk(nl, E, QL),
+                "q_a_norm": jnp.ones((nl, QL), jnp.bfloat16),
+                "w_qb": mk(nl, QL, H * (QN + QR)),
+                "w_kva": mk(nl, E, KL + QR),
+                "kv_a_norm": jnp.ones((nl, KL), jnp.bfloat16),
+                "w_kb": mk(nl, KL, H * QN),
+                "w_vb": mk(nl, KL, H * VD),
+                "wo": mk(nl, H * VD, E),
+            }
+
+        dense_layers = attn(LD)
+        dense_layers.update({
+            "d_gate": mk(LD, E, FD), "d_up": mk(LD, E, FD),
+            "d_down": mk(LD, FD, E),
+        })
+        moe_layers = attn(LM)
+        moe_layers.update({
+            "router": mk(LM, E, NE),
+            "router_bias": jnp.zeros((LM, NE), jnp.float32),
+            "w_gate": mk(LM, NE, E, F, fan_in=E),
+            "w_up": mk(LM, NE, E, F, fan_in=E),
+            "w_down": mk(LM, NE, F, E, fan_in=F),
+            "s_gate": mk(LM, E, F * SH), "s_up": mk(LM, E, F * SH),
+            "s_down": mk(LM, F * SH, E),
+        })
+        params = {
+            "embed": mk(cfg.vocab_size, E, fan_in=E),
+            "final_norm": jnp.ones((E,), jnp.bfloat16),
+            "dense_layers": dense_layers,
+            "moe_layers": moe_layers,
+        }
+        if not cfg.tie_embeddings:
+            params["lm_head"] = mk(E, cfg.vocab_size)
+        return params
+
     layers = {
         "ln1": jnp.ones((L, E), jnp.bfloat16),
         "ln2": jnp.ones((L, E), jnp.bfloat16),
