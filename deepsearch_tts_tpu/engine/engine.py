@@ -414,6 +414,9 @@ class Engine:
         self._lane: list[dict] = []
         self._chunk_seq = 0   # dispatch counter for lane abort draining
         self._deferred: list[tuple[GenerationRequest, Future]] = []
+        # admission injection: dispatched-but-unsynced prefill groups whose
+        # first tokens feed the next decode chunk device-side (≤2 at a time)
+        self._inject_handles: list[dict] = []
         # preempted-sequence continuations keyed by future: generated
         # tokens + stop/detok state restored at re-admission (vLLM-style
         # preempt-by-recompute; the freed pages are parked in the prefix
@@ -435,6 +438,7 @@ class Engine:
             # chunk per decode dispatch — the ceiling on decode_tokens) and
             # batched-prefill dispatch count/rows (group-size health)
             "slot_steps": 0, "prefill_dispatches": 0, "prefill_rows": 0,
+            "injected_groups": 0,
         }
         # high-water mark for non-overlapping prefill-time accounting: under
         # two-phase admission all groups dispatch back-to-back before any
@@ -486,13 +490,22 @@ class Engine:
         @partial(jax.jit, donate_argnums=(0, 1, 2, 5))
         def decode_chunk(k_pages, v_pages, kv_aux, params, page_tables, seen,
                          last_tok, seq_lens, host_last, host_lens, use_host,
-                         active, samp, key, min_tokens, prompt_lens):
+                         active, samp, key, min_tokens, prompt_lens,
+                         inject_rows, inject_toks0, inject_toks1):
             # pipelined dispatch: rows reset on the host since the carry was
             # produced (admitted/finished) take the host values; merging here
             # keeps it inside the one decode program (a separate scatter
             # would be its own multi-second remote compile on axon)
             last_tok = jnp.where(use_host, host_last, last_tok)
             seq_lens = jnp.where(use_host, host_lens, seq_lens)
+            # admission injection: freshly prefilled rows take their first
+            # token straight from the prefill program's device output —
+            # the chunk after a refill dispatches without waiting for the
+            # prefill sync (rows=B for padding: scatter dropped)
+            last_tok = last_tok.at[inject_rows[0]].set(inject_toks0,
+                                                       mode="drop")
+            last_tok = last_tok.at[inject_rows[1]].set(inject_toks1,
+                                                       mode="drop")
             def step(carry, step_key):
                 kp, vp, aux, last, lens, seen = carry
                 sp = SamplingParams(
@@ -554,10 +567,15 @@ class Engine:
         def decode_chunk(k_pages, v_pages, kv_aux, params, page_tables, seen,
                          last_tok, seq_lens, host_last, host_lens, use_host,
                          active, samp, key, min_tokens, prompt_lens,
+                         inject_rows, inject_toks0, inject_toks1,
                          lane_tokens, lane_pos, lane_tables, lane_lens,
                          lane_logit_rows, act_slots, act_steps, act_seen):
             last_tok = jnp.where(use_host, host_last, last_tok)
             seq_lens = jnp.where(use_host, host_lens, seq_lens)
+            last_tok = last_tok.at[inject_rows[0]].set(inject_toks0,
+                                                       mode="drop")
+            last_tok = last_tok.at[inject_rows[1]].set(inject_toks1,
+                                                       mode="drop")
 
             def step(carry, xs):
                 kp, vp, aux, last, lens, seen = carry
@@ -686,6 +704,11 @@ class Engine:
             # (out of bounds => scatter dropped)
             seen = seen.at[rows].set(seen_rows, mode="drop")
             seen = seen.at[rows, first].set(True, mode="drop")
+            # fixed-width first-token output: admission injection feeds this
+            # array straight into the next decode chunk's program (device to
+            # device, no host round trip), so every group shape must produce
+            # the same [MAX_PREFILL_GROUP] shape
+            first = jnp.pad(first, (0, self.MAX_PREFILL_GROUP - Gp))
             return k_pages, v_pages, kv_aux, seen, first
 
         self._jit_cache[key] = prefill
@@ -823,6 +846,7 @@ class Engine:
                     last, lens, last, lens, jnp.ones((B,), bool),
                     jnp.zeros((B,), bool), samp, key,
                     jnp.asarray(self.min_tokens), jnp.asarray(self.prompt_lens),
+                    *self._inject_args(),
                     *lane_args,
                 )
                 # inactive rows write nothing (positions < 0 are dropped);
@@ -862,14 +886,16 @@ class Engine:
             try:
                 if self._pending is None:
                     self._apply_aborts()
-                    admitted = self._admit()
+                    admitted = self._admit(defer=True)
                     if not any(s.active for s in self.slots) \
                             and not self._lane:
+                        self._drain_inject()  # stale handles (rows aborted)
                         if not admitted:
                             self._wake.wait(timeout=0.05)
                             self._wake.clear()
                         continue
                     self._pending = self._dispatch_decode(carry=None)
+                    self._drain_inject()
                     if self._pending is None and self._lane:
                         # nothing dispatchable and no chunk in flight:
                         # aborted lane entries can be reclaimed immediately
@@ -888,6 +914,7 @@ class Engine:
                             and self._can_speculate(self._pending) \
                             and not self._churn_imminent(self._pending):
                         nxt = self._dispatch_decode(carry=self._pending)
+                    self._drain_inject()
                     freed_before = sum(1 for s in self.slots
                                        if not s.active and s.req is None)
                     self._process_decode(self._pending)
@@ -903,12 +930,13 @@ class Engine:
                         # instead of idling a full chunk
                         self._wake.wait(timeout=0.002)
                         self._wake.clear()
-                    self._admit()
+                    self._admit(defer=True)
             except Exception as e:  # engine-step crash: fail in-flight work loudly
                 import traceback
 
                 traceback.print_exc()
                 self._pending = None
+                self._inject_handles.clear()  # slots' futures failed below
                 for s in self.slots:
                     if s.future is not None and not s.future.done():
                         s.future.set_exception(e)
@@ -1005,8 +1033,16 @@ class Engine:
                 keep.append(e)
             self._lane = keep
 
-    def _admit(self, max_admits: int | None = None) -> bool:
+    def _admit(self, max_admits: int | None = None, defer: bool = False):
         """Admit queued requests with *batched prefill*.
+
+        ``defer=True`` (admission injection): dispatch each group's prefill
+        program and ACTIVATE its slots immediately, but skip the result sync
+        for the newest ≤2 groups — their handles park in
+        ``self._inject_handles``; the next decode dispatch reads the groups'
+        first tokens device-side (:meth:`_inject_args`) and the scheduler
+        syncs them afterwards (:meth:`_drain_inject`), so admission never
+        stalls decode on a prefill round trip.
 
         Requests are prepared host-side, grouped by prompt-length bucket, and
         each group prefills in ONE batched forward — with 100 trajectories
@@ -1101,6 +1137,26 @@ class Engine:
                     traceback.print_exc()
                     for p in sub:
                         self._fail_prepared(p, e)
+        if defer:
+            # admission injection: activate the newest ≤2 groups WITHOUT
+            # syncing — the next decode dispatch takes their first tokens
+            # straight from the device (_inject_args) and the sync then
+            # overlaps that chunk's execution. Earlier groups (rare >2-group
+            # bursts) sync here; they complete first, so the wait is the
+            # same one the injected groups' programs are already hiding.
+            room = 2 - len(self._inject_handles)
+            if room > 0 and handles:
+                deferred, handles = handles[len(handles) - room:], \
+                    handles[: len(handles) - room]
+                for h in deferred:
+                    for g, p in enumerate(h["grp"]):
+                        if p["slot"].epoch != h["epochs"][g]:
+                            continue
+                        self.seq_lens[p["slot"].idx] = len(p["prompt"])
+                        p["slot"].active = True
+                self._mark_dirty()
+                self._inject_handles.extend(deferred)
+                self.stats["injected_groups"] += len(deferred)
         for h in handles:
             try:
                 self._prefill_group_process(h)
@@ -1307,7 +1363,8 @@ class Engine:
             )
         self.stats["prefill_dispatches"] += 1
         self.stats["prefill_rows"] += G
-        return {"grp": grp, "first": first, "t0": t0}
+        return {"grp": grp, "first": first, "t0": t0,
+                "epochs": [p["slot"].epoch for p in grp]}
 
     def _prefill_group_process(self, h: dict) -> None:
         """Sync one dispatched prefill group and fold its first tokens into
@@ -1319,6 +1376,8 @@ class Engine:
         n_prefill = 0
         for g, p in enumerate(grp):
             slot, prompt = p["slot"], p["prompt"]
+            if slot.epoch != h["epochs"][g]:
+                continue  # aborted/reset between deferred dispatch and sync
             b = slot.idx
             self.seq_lens[b] = len(prompt)
             self.last_tok[b] = int(first_np[g])
@@ -1473,6 +1532,39 @@ class Engine:
                 return True
         return False
 
+    def _inject_args(self, inject: tuple = ()) -> tuple:
+        """Admission-injection inputs for the decode program: up to two
+        dispatched-but-unsynced prefill groups whose first-token device
+        arrays feed the chunk directly (rows=max_slots → scatter dropped)."""
+        MAXG = self.MAX_PREFILL_GROUP
+        if getattr(self, "_inject_zero", None) is None:
+            self._inject_zero = jnp.zeros((MAXG,), jnp.int32)
+        rows = np.full((2, MAXG), self.max_slots, np.int32)
+        toks = [self._inject_zero, self._inject_zero]
+        for gi, h in enumerate(inject[:2]):
+            for g, p in enumerate(h["grp"]):
+                if p["slot"].epoch != h["epochs"][g]:
+                    continue  # row reset since admit: leave dropped
+                rows[gi, g] = p["slot"].idx
+            toks[gi] = h["first"]
+        return (jnp.asarray(rows), toks[0], toks[1])
+
+    def _drain_inject(self) -> None:
+        """Sync every admission-injected prefill group. MUST be called after
+        each _dispatch_decode attempt: a handle may only be injected into one
+        chunk (the chunk's carry then holds the rows' live state, so a second
+        injection would clobber it with the stale first token)."""
+        handles, self._inject_handles = self._inject_handles, []
+        for h in handles:
+            try:
+                self._prefill_group_process(h)
+            except Exception as e:
+                import traceback
+
+                traceback.print_exc()
+                for p in h["grp"]:
+                    self._fail_prepared(p, e)
+
     def _dispatch_decode(self, carry: dict | None) -> dict | None:
         """Dispatch one decode chunk; returns a handle for _process_decode.
 
@@ -1560,6 +1652,7 @@ class Engine:
         min_toks = self._dev("min_tokens", lambda: jnp.asarray(self.min_tokens))
         plens = self._dev("prompt_lens", lambda: jnp.asarray(self.prompt_lens))
         act_first = None
+        inj = self._inject_args(tuple(self._inject_handles))
         if self.prefill_lane:
             la = self._lane_arrays(lane_plan, chunk, p_cur)
             with self.spans.span("decode_dispatch"):
@@ -1569,7 +1662,7 @@ class Engine:
                         tables, self.seen,
                         last, lens, host_last, host_lens,
                         jnp.asarray(use_host), jnp.asarray(active), samp, key,
-                        min_toks, plens, *la,
+                        min_toks, plens, *inj, *la,
                     )
         else:
             with self.spans.span("decode_dispatch"):
@@ -1579,7 +1672,7 @@ class Engine:
                         tables, self.seen,
                         last, lens, host_last, host_lens,
                         jnp.asarray(use_host), jnp.asarray(active), samp, key,
-                        min_toks, plens,
+                        min_toks, plens, *inj,
                     )
         self.stats["slot_steps"] += int(active.sum()) * chunk
         return {
