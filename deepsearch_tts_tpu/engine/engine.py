@@ -450,8 +450,40 @@ class Engine:
 
         self.spans = SpanTimer()
         self._decode_fn = self._build_decode_fn()
+        # slot-mode context bucketing: one decode program per static pool
+        # slice width (paged mode re-specializes through the table shape
+        # instead, so it stays on the single self._decode_fn)
+        self._decode_fn_by_ctx: dict[int, Any] = {}
 
     # ---------------------------------------------------------------- jit fns
+
+    def _slot_buckets(self) -> list[int]:
+        """Token-width buckets for the contiguous-slot cache — the decode
+        program reads pool[:, :bucket] (a fused slice, no gather), so early
+        decode moves only the smallest bucket covering the longest active
+        context. Same pow2(+1.5x midpoint) ladder as _decode_buckets."""
+        cap = self.max_seq_len
+        if not self.context_buckets:
+            return [cap]
+        fine = self.context_buckets == "fine"
+        out = set()
+        b = 64
+        while b < cap:
+            out.add(b)
+            if fine and 64 < (b * 3) // 2 < cap:
+                out.add((b * 3) // 2)
+            b *= 2
+        out.add(cap)
+        return sorted(out)
+
+    def _decode_program(self, slot_ctx: int | None = None):
+        if slot_ctx is None or self.cache_mode != "slot":
+            return self._decode_fn
+        fn = self._decode_fn_by_ctx.get(slot_ctx)
+        if fn is None:
+            fn = self._build_decode_fn(slot_ctx)
+            self._decode_fn_by_ctx[slot_ctx] = fn
+        return fn
 
     def _decode_buckets(self) -> list[int]:
         """Page-count buckets up to the per-seq page budget.
@@ -475,7 +507,7 @@ class Engine:
         out.add(cap)
         return sorted(out)
 
-    def _build_decode_fn(self):
+    def _build_decode_fn(self, slot_ctx: int | None = None):
         if self.prefill_lane:
             return self._build_decode_lane_fn()
         cfg, fwd = self.cfg, self.forward
@@ -516,7 +548,8 @@ class Engine:
                     eos_id=eos_id,
                 )
                 pos = jnp.where(active, lens, -1)[:, None]
-                fwd_kw = {"slot_decode": True} if slot_mode else {}
+                fwd_kw = ({"slot_decode": True, "slot_ctx": slot_ctx}
+                          if slot_mode else {})
                 if self.layer_fusion:
                     fwd_kw["fused_decode"] = True
                 if kv_q:
@@ -820,8 +853,12 @@ class Engine:
                         samp, jnp.zeros((Gp,), jnp.int32), sk,
                     )
         if decode:
-            widths = [1] if self.cache_mode == "slot" else self._decode_buckets()
-            for p_cur in widths:
+            if self.cache_mode == "slot":
+                variants = [(1, s) for s in (
+                    self._slot_buckets() if self.context_buckets else [None])]
+            else:
+                variants = [(p, None) for p in self._decode_buckets()]
+            for p_cur, s_cur in variants:
                 self.rng, key = jax.random.split(self.rng)
                 samp = {k: jnp.asarray(v) for k, v in self.samp_host.items()}
                 last = jnp.asarray(self.last_tok)
@@ -840,7 +877,7 @@ class Engine:
                         jnp.zeros((A,), jnp.int32),
                         jnp.zeros((A, self.cfg.vocab_size), bool),
                     )
-                out = self._decode_fn(
+                out = self._decode_program(s_cur)(
                     self.k_pages, self.v_pages, self.kv_aux, self.params,
                     jnp.asarray(self.page_tables[:, :p_cur]), self.seen,
                     last, lens, last, lens, jnp.ones((B,), bool),
@@ -1624,16 +1661,25 @@ class Engine:
         # 2-4x less HBM traffic. jit re-specializes per width (precompiled
         # by warmup()).
         p_cur = self.max_pages_per_seq
-        if self.cache_mode != "slot" and self.context_buckets:
+        s_cur = None
+        if self.context_buckets:
             need = int(np.max(np.where(active, predicted, 0), initial=0)) \
                 + chunk + 1
-            if lane_plan is not None:
-                need = max(need, lane_plan["max_tokens_needed"])
-            need_pages = -(-need // self.page_size)
-            for b in self._decode_buckets():
-                if b >= need_pages:
-                    p_cur = b
-                    break
+            if self.cache_mode == "slot":
+                # slot mode buckets by pool-slice width instead of table
+                # width: one jitted program per token bucket
+                for b in self._slot_buckets():
+                    if b >= need:
+                        s_cur = b
+                        break
+            else:
+                if lane_plan is not None:
+                    need = max(need, lane_plan["max_tokens_needed"])
+                need_pages = -(-need // self.page_size)
+                for b in self._decode_buckets():
+                    if b >= need_pages:
+                        p_cur = b
+                        break
 
         host_last = jnp.asarray(self.last_tok)
         host_lens = jnp.asarray(self.seq_lens)
@@ -1667,7 +1713,7 @@ class Engine:
         else:
             with self.spans.span("decode_dispatch"):
                 (self.k_pages, self.v_pages, self.kv_aux, self.seen, last,
-                 lens, toks) = self._decode_fn(
+                 lens, toks) = self._decode_program(s_cur)(
                         self.k_pages, self.v_pages, self.kv_aux, self.params,
                         tables, self.seen,
                         last, lens, host_last, host_lens,

@@ -305,6 +305,7 @@ def forward(
     logits_indices: jax.Array | None = None,
     impl: str = "xla",
     slot_decode: bool = False,
+    slot_ctx: int | None = None,  # static context-bucket slice (see qwen3.py)
     fresh_prefill: bool = False,
     ring_mesh=None,
     ring_axis: str = "tp",
@@ -354,6 +355,8 @@ def forward(
                         ring_mesh=ring_mesh, ring_axis=ring_axis)
                 elif slot_decode:
                     k_ctx = jax.lax.dynamic_slice_in_dim(kpf, layer * N, N, 0)
+                    if slot_ctx is not None:
+                        k_ctx = k_ctx[:, :slot_ctx]
                     attn = attn_ops.masked_context_attention(
                         q_eff, k_ctx, k_ctx, seq_lens,
                         jnp.maximum(positions, 0), scale=scale)[..., :KL]

@@ -171,6 +171,9 @@ def forward(
     logits_indices: jax.Array | None = None,  # [B] position in T to project
     impl: str = "xla",
     slot_decode: bool = False,  # contiguous-slot decode: batch row == pool row
+    slot_ctx: int | None = None,  # static context-bucket width: the slot
+    # attention reads pool[:, :slot_ctx] — a fused contiguous slice, so
+    # early decode moves only the bucket's bytes (engine._slot_buckets)
     fresh_prefill: bool = False,  # no cached prefix: attend over the chunk only
     ring_mesh=None,             # impl="ring": sequence-parallel fresh prefill
     ring_axis: str = "tp",
@@ -289,6 +292,9 @@ def forward(
                 elif slot_decode:
                     k_ctx = jax.lax.dynamic_slice_in_dim(kw, layer * N, N, 0)
                     v_ctx = jax.lax.dynamic_slice_in_dim(vw, layer * N, N, 0)
+                    if slot_ctx is not None:
+                        k_ctx = k_ctx[:, :slot_ctx]
+                        v_ctx = v_ctx[:, :slot_ctx]
                     out = attn_ops.masked_context_attention(
                         q, k_ctx, v_ctx, seq_lens, jnp.maximum(positions, 0))
                 elif lane:

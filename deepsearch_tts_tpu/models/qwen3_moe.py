@@ -153,6 +153,7 @@ def forward(
     logits_indices: jax.Array | None = None,
     impl: str = "xla",
     slot_decode: bool = False,
+    slot_ctx: int | None = None,  # static context-bucket slice (see qwen3.py)
     fresh_prefill: bool = False,
     ring_mesh=None,
     ring_axis: str = "tp",
@@ -232,6 +233,9 @@ def forward(
                 elif slot_decode:
                     k_ctx = jax.lax.dynamic_slice_in_dim(kw, layer * N, N, 0)
                     v_ctx = jax.lax.dynamic_slice_in_dim(vw, layer * N, N, 0)
+                    if slot_ctx is not None:
+                        k_ctx = k_ctx[:, :slot_ctx]
+                        v_ctx = v_ctx[:, :slot_ctx]
                     out = attn_ops.masked_context_attention(
                         q, k_ctx, v_ctx, seq_lens, jnp.maximum(positions, 0))
                 elif lane:

@@ -61,6 +61,32 @@ def test_slot_cache_mode_matches_paged():
         assert o.finish_reason == r.finish_reason
 
 
+def test_slot_context_buckets_cross_boundary():
+    """Slot-mode decode slices the pool to a token bucket (_slot_buckets);
+    a sequence that grows across bucket boundaries (64 → 96 → 128 here) must
+    decode identically to the unbucketed slot program."""
+    cfg = QWEN3_CONFIGS["qwen3-test"]
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    tk = ByteTokenizer()
+    prompt = [(7 * i) % cfg.vocab_size for i in range(60)]
+
+    flat = Engine("qwen3-test", tk, params=params, max_slots=2,
+                  max_seq_len=128, decode_chunk_len=4, cache_mode="slot",
+                  context_buckets=False)
+    ref = flat.generate(_req(prompt, n=60))
+    flat.shutdown()
+
+    slot = Engine("qwen3-test", tk, params=params, max_slots=2,
+                  max_seq_len=128, decode_chunk_len=4, cache_mode="slot",
+                  context_buckets="fine")
+    assert slot._slot_buckets() == [64, 96, 128]
+    out = slot.generate(_req(prompt, n=60))
+    slot.shutdown()
+
+    assert out.token_ids == ref.token_ids
+    assert out.finish_reason == ref.finish_reason
+
+
 def test_kv_exhaustion_preempts_gracefully():
     """Out of KV pages: the engine finishes the victim with reason=length and
     counts a preemption instead of crashing (failure-handling subsystem)."""
