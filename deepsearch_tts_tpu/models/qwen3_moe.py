@@ -231,13 +231,23 @@ def forward(
                         q, k, v, impl=impl if impl == "ring" else "xla",
                         ring_mesh=ring_mesh, ring_axis=ring_axis)
                 elif slot_decode:
-                    k_ctx = jax.lax.dynamic_slice_in_dim(kw, layer * N, N, 0)
-                    v_ctx = jax.lax.dynamic_slice_in_dim(vw, layer * N, N, 0)
-                    if slot_ctx is not None:
-                        k_ctx = k_ctx[:, :slot_ctx]
-                        v_ctx = v_ctx[:, :slot_ctx]
-                    out = attn_ops.masked_context_attention(
-                        q, k_ctx, v_ctx, seq_lens, jnp.maximum(positions, 0))
+                    if impl == "pallas" and q.shape[1] == 1:
+                        from ..ops.slot_attention import slot_attention
+
+                        limit = jnp.minimum(
+                            seq_lens, jnp.maximum(positions[:, 0], 0) + 1)
+                        out = slot_attention(
+                            q[:, 0], kw, vw, limit, layer, n_rows=N,
+                            slot_ctx=(slot_ctx if slot_ctx is not None
+                                      else kw.shape[1]))[:, None]
+                    else:
+                        k_ctx = jax.lax.dynamic_slice_in_dim(kw, layer * N, N, 0)
+                        v_ctx = jax.lax.dynamic_slice_in_dim(vw, layer * N, N, 0)
+                        if slot_ctx is not None:
+                            k_ctx = k_ctx[:, :slot_ctx]
+                            v_ctx = v_ctx[:, :slot_ctx]
+                        out = attn_ops.masked_context_attention(
+                            q, k_ctx, v_ctx, seq_lens, jnp.maximum(positions, 0))
                 elif lane:
                     out_d = attn_ops.paged_attention(
                         q[:B_dec], kw, vw, table_l[:B_dec], seq_lens,

@@ -194,6 +194,68 @@ variants["grid_clamp"] = make_scan(lambda q: clamp_attention(
     q, k_pages, v_pages, tables, seq_lens))
 
 
+# ---- slot-cache variants: contiguous pool [L*B, SLOT_LEN, K, D], batch row
+# == pool row. slot_xla = the engine's dynamic-slice + masked attention at
+# the context bucket; slot_pal = ops/slot_attention.py multi-row streaming
+# kernel with per-row-block clamping ----
+SLOT_LEN = int(os.environ.get("MA_SLOT_LEN", 512))
+BUCKET = int(os.environ.get("MA_BUCKET", 192))
+
+
+def _make_slot_pool(seed: int):
+    # device-side fill (a 3-4GB host randn would dominate startup)
+    shape = (L * B, SLOT_LEN, K, D)
+
+    @jax.jit
+    def make():
+        i = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        j = jax.lax.broadcasted_iota(jnp.int32, shape, 3)
+        return (((i * 31 + j * 7 + seed) % 13) - 6).astype(jnp.bfloat16) * 0.05
+
+    return make()
+
+
+def _add_slot_variants():
+    from deepsearch_tts_tpu.ops.slot_attention import slot_attention
+
+    kpool = _make_slot_pool(0)
+    vpool = _make_slot_pool(5)
+
+    def slot_xla(qq, l, kpf, vpf):
+        k_ctx = jax.lax.dynamic_slice_in_dim(kpf, l * B, B, 0)[:, :BUCKET]
+        v_ctx = jax.lax.dynamic_slice_in_dim(vpf, l * B, B, 0)[:, :BUCKET]
+        return attn_ops.masked_context_attention(
+            qq, k_ctx, v_ctx, seq_lens, q_pos)
+
+    def slot_pal(qq, l, kpf, vpf):
+        lim = jnp.minimum(seq_lens, q_pos[:, 0] + 1)
+        return slot_attention(qq[:, 0], kpf, vpf, lim, l, n_rows=B,
+                              slot_ctx=BUCKET)[:, None]
+
+    def make_scan_kv(attend):
+        # pools ride as jit ARGUMENTS — closure capture would embed the
+        # multi-GB pools as program constants (a full re-upload per remote
+        # compile through the axon tunnel)
+        @jax.jit
+        def run(q, kpf, vpf):
+            def step(q, _):
+                def layer(l, qq):
+                    out = attend(qq, l, kpf, vpf)
+                    return qq + out.astype(qq.dtype) * 0.001
+                return jax.lax.fori_loop(0, L, layer, q), None
+            q, _ = jax.lax.scan(step, q, None, length=STEPS)
+            return q
+
+        return lambda q: run(q, kpool, vpool)
+
+    variants["slot_xla"] = make_scan_kv(slot_xla)
+    variants["slot_pal"] = make_scan_kv(slot_pal)
+
+
+if os.environ.get("MA_SLOT"):
+    _add_slot_variants()
+
+
 if __name__ == "__main__":
     print(json.dumps({"what": "start"}), flush=True)
     only = os.environ.get("MA_ONLY")
@@ -203,7 +265,7 @@ if __name__ == "__main__":
             q0, k_pages, v_pages, tables, seq_lens, q_pos)
     print(json.dumps({"what": "ref_done"}), flush=True)
     for name in (only.split(",") if only else variants):
-        if name != "xla":
+        if name != "xla" and not name.startswith("slot_"):
             if name == "grid":
                 got = jax.jit(pallas_paged_attention)(
                     q0, k_pages, v_pages, tables, seq_lens, q_pos)

@@ -61,6 +61,31 @@ def test_slot_cache_mode_matches_paged():
         assert o.finish_reason == r.finish_reason
 
 
+def test_slot_pallas_attention_matches_paged():
+    """Slot mode with attn_impl="pallas" routes decode through the
+    ops/slot_attention.py kernel (interpret on CPU); greedy outputs must
+    match the paged XLA engine exactly."""
+    cfg = QWEN3_CONFIGS["qwen3-test"]
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    tk = ByteTokenizer()
+    prompts = [list(range(10, 30)), list(range(50, 75))]
+
+    paged = Engine("qwen3-test", tk, params=params, max_slots=2, page_size=4,
+                   n_pages=128, max_seq_len=128, decode_chunk_len=4)
+    ref = [paged.generate(_req(p)) for p in prompts]
+    paged.shutdown()
+
+    slot = Engine("qwen3-test", tk, params=params, max_slots=2,
+                  max_seq_len=128, decode_chunk_len=4, cache_mode="slot",
+                  attn_impl="pallas")
+    out = [slot.generate(_req(p)) for p in prompts]
+    slot.shutdown()
+
+    for r, o in zip(ref, out):
+        assert o.token_ids == r.token_ids
+        assert o.finish_reason == r.finish_reason
+
+
 def test_slot_context_buckets_cross_boundary():
     """Slot-mode decode slices the pool to a token bucket (_slot_buckets);
     a sequence that grows across bucket boundaries (64 → 96 → 128 here) must

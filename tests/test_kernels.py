@@ -129,3 +129,38 @@ def test_clamped_decode_matches_xla():
     np.testing.assert_allclose(np.asarray(got, np.float32),
                                np.asarray(want, np.float32),
                                rtol=0.05, atol=0.02)
+
+
+def test_slot_attention_matches_xla():
+    """Slot-cache decode kernel vs masked_context_attention (interpret):
+    multi-layer pool indexing, mixed row lengths crossing context-block
+    boundaries, slot_ctx bucket narrower than the pool."""
+    import numpy as _np
+
+    from deepsearch_tts_tpu.ops.attention import masked_context_attention
+    from deepsearch_tts_tpu.ops.slot_attention import slot_attention
+
+    L, B, ps, K, G, D = 3, 8, 64, 2, 2, 32
+    H = K * G
+    slot_ctx = 48   # bucket < ps; cb divisor search must land on 16
+    rng = _np.random.default_rng(7)
+    kpf = jnp.asarray(rng.standard_normal((L * B, ps, K, D)) * 0.3,
+                      jnp.bfloat16)
+    vpf = jnp.asarray(rng.standard_normal((L * B, ps, K, D)) * 0.3,
+                      jnp.bfloat16)
+    q = jnp.asarray(rng.standard_normal((B, H, D)) * 0.3, jnp.bfloat16)
+    # lengths: short rows (block-clamp path), bucket-edge, crossing blocks
+    lens = jnp.asarray([1, 5, 17, 48, 33, 2, 16, 47], jnp.int32)
+    pos = lens - 1
+
+    for layer in range(L):
+        kl = kpf[layer * B:(layer + 1) * B, :slot_ctx]
+        vl = vpf[layer * B:(layer + 1) * B, :slot_ctx]
+        want = masked_context_attention(
+            q[:, None], kl, vl, lens, pos[:, None])[:, 0]
+        got = slot_attention(q, kpf, vpf, jnp.minimum(lens, pos + 1),
+                             jnp.int32(layer), n_rows=B, slot_ctx=slot_ctx,
+                             interpret=True)
+        np.testing.assert_allclose(np.asarray(got, np.float32),
+                                   np.asarray(want, np.float32),
+                                   rtol=0.05, atol=0.02)
