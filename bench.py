@@ -123,7 +123,14 @@ def main():
     CHUNK = int(os.environ.get("BENCH_CHUNK", 32 if on_tpu else 4))
     ATTN = os.environ.get("BENCH_ATTN") or None
     PS = int(os.environ.get("BENCH_PS", 64))
-    CACHE_MODE = os.environ.get("BENCH_CACHE", "paged")  # paged | slot
+    _MODE0 = os.environ.get("BENCH_MODE", "")
+    # default cache per workload: burst/sustained decode runs the
+    # contiguous-slot cache (the slot Pallas kernel measures 6815 vs 6435
+    # tok/s paged-XLA, r3); multiturn keeps paged + prefix sharing, which
+    # slot mode cannot do (each slot owns its contiguous buffer)
+    CACHE_MODE = os.environ.get(
+        "BENCH_CACHE", "paged" if (_MODE0 == "multiturn" or not on_tpu)
+        else "slot")
     QUANT = os.environ.get("BENCH_QUANT") or None        # int8 weights
     KVQUANT = os.environ.get("BENCH_KVQUANT") or None    # int8 KV pages
     PACK = {"1": True, "0": False}.get(os.environ.get("BENCH_PACK", ""))  # None=auto
@@ -138,7 +145,8 @@ def main():
     # in-flight chunked prefill width (tokens per decode step); defaults on
     # for the sustained mode, where prompts arrive while decode runs
     LANE = int(os.environ.get("BENCH_LANE",
-                              16 if MODE == "sustained" else 0))
+                              16 if (MODE == "sustained"
+                                     and CACHE_MODE != "slot") else 0))
     # lane completions per chunk; 0 = engine default. Steady-state churn is
     # max_slots*chunk/mean_decode completions per chunk.
     LANE_ACT = int(os.environ.get("BENCH_LANE_ACT", 0)) or None
@@ -318,7 +326,10 @@ def main():
                 kv_quantize=KVQUANT, pack_weights=PACK,
                 context_buckets=BUCKETS, layer_fusion=FUSED,
                 max_prefill_group=int(PFG) if PFG else None,
-                prefill_lane=int(os.environ.get("BENCH_DEPLOY_LANE", 16)),
+                # the lane rides the paged decode program; slot mode
+                # prefills in batched dispatches instead
+                prefill_lane=(0 if CACHE_MODE == "slot" else
+                              int(os.environ.get("BENCH_DEPLOY_LANE", 16))),
                 lane_max_act=LANE_ACT or 16)
             dep.warmup(prompt_lens=(PROMPT,))
             dep.generate(req(-2))

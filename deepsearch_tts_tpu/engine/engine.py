@@ -177,13 +177,18 @@ class Engine:
             self.MAX_PREFILL_GROUP = int(max_prefill_group)
         self.context_buckets = context_buckets
         if attn_impl is None:
-            # measured on v5e (1.5B, batch 64, ctx ≤512): XLA's fused
-            # gather+attention beats both pallas paged kernels for decode at
-            # these shapes (4.6k vs 2.7k tok/s). The pallas kernels remain
-            # selectable ("pallas" grid / "pallas2" page-streaming) and are
-            # expected to win at long context where the gather materializes
-            # [B, S, K, D]; re-evaluate per deployment.
-            attn_impl = "xla"
+            # paged mode, measured on v5e (1.5B, batch 64, ctx ≤512): XLA's
+            # fused gather+attention beats both pallas paged kernels for
+            # decode at these shapes (4.6k vs 2.7k tok/s); the kernels stay
+            # selectable ("pallas" grid / "pallas2" page-streaming).
+            # slot mode on TPU: the contiguous layout admits the multi-row
+            # streaming kernel (ops/slot_attention.py) which runs at the
+            # HBM floor — measured 6815 vs 6195 tok/s (r3) — so it is the
+            # slot default there.
+            from ..utils import is_tpu_backend
+
+            attn_impl = ("pallas" if cache_mode == "slot"
+                         and is_tpu_backend() else "xla")
         self.attn_impl = attn_impl
 
         import inspect

@@ -354,12 +354,27 @@ def forward(
                         impl=impl if impl == "ring" else "xla",
                         ring_mesh=ring_mesh, ring_axis=ring_axis)
                 elif slot_decode:
-                    k_ctx = jax.lax.dynamic_slice_in_dim(kpf, layer * N, N, 0)
-                    if slot_ctx is not None:
-                        k_ctx = k_ctx[:, :slot_ctx]
-                    attn = attn_ops.masked_context_attention(
-                        q_eff, k_ctx, k_ctx, seq_lens,
-                        jnp.maximum(positions, 0), scale=scale)[..., :KL]
+                    if impl == "pallas" and q_eff.shape[1] == 1:
+                        # shared-pool slot kernel: MLA's latent rows are
+                        # both k and v, so one context DMA feeds both
+                        # contractions (ops/slot_attention.py)
+                        from ..ops.slot_attention import slot_attention
+
+                        limit = jnp.minimum(
+                            seq_lens, jnp.maximum(positions[:, 0], 0) + 1)
+                        attn = slot_attention(
+                            q_eff[:, 0], kpf, None, limit, layer, n_rows=N,
+                            slot_ctx=(slot_ctx if slot_ctx is not None
+                                      else kpf.shape[1]),
+                            scale=scale)[:, None, :, :KL]
+                    else:
+                        k_ctx = jax.lax.dynamic_slice_in_dim(
+                            kpf, layer * N, N, 0)
+                        if slot_ctx is not None:
+                            k_ctx = k_ctx[:, :slot_ctx]
+                        attn = attn_ops.masked_context_attention(
+                            q_eff, k_ctx, k_ctx, seq_lens,
+                            jnp.maximum(positions, 0), scale=scale)[..., :KL]
                 else:
                     attn = attn_ops.paged_attention(
                         q_eff, kpf, kpf, table_l, seq_lens,

@@ -52,14 +52,15 @@ def _slot_ctx_block(slot_ctx: int, cap: int = 128) -> int:
     return best
 
 
-def _slot_attn_kernel(sp_ref, lim_ref, q_ref, k_ref, v_ref, o_ref,
-                      m_ref, s_ref, acc_ref,
-                      *, scale: float, n_kv: int, group: int,
-                      block_rows: int, block_ctx: int):
+def _slot_attn_body(sp_ref, lim_ref, q_ref, k_ref, v_ref, o_ref,
+                    m_ref, s_ref, acc_ref,
+                    *, scale: float, n_kv: int, group: int,
+                    block_rows: int, block_ctx: int):
     """Grid (row_blocks, ctx_blocks); ctx innermost so the online-softmax
     scratch accumulates per row block. ``sp_ref`` = [layer, mb_0..mb_nrb):
     mb_i is row block i's clamped context-block count (consumed by the
-    index maps); ``lim_ref`` holds per-row valid-key counts."""
+    index maps); ``lim_ref`` holds per-row valid-key counts. ``v_ref`` may
+    be ``k_ref`` itself (MLA latent cache: k == v, single DMA)."""
     i = pl.program_id(0)
     c = pl.program_id(1)
     n_cb = pl.num_programs(1)
@@ -106,10 +107,24 @@ def _slot_attn_kernel(sp_ref, lim_ref, q_ref, k_ref, v_ref, o_ref,
         o_ref[:] = (acc_ref[:] / denom).astype(o_ref.dtype)
 
 
+def _slot_attn_kernel(sp_ref, lim_ref, q_ref, k_ref, v_ref, o_ref,
+                      m_ref, s_ref, acc_ref, **kw):
+    _slot_attn_body(sp_ref, lim_ref, q_ref, k_ref, v_ref, o_ref,
+                    m_ref, s_ref, acc_ref, **kw)
+
+
+def _slot_attn_kernel_shared(sp_ref, lim_ref, q_ref, k_ref, o_ref,
+                             m_ref, s_ref, acc_ref, **kw):
+    # k IS v (MLA latent rows): one context DMA feeds both contractions
+    _slot_attn_body(sp_ref, lim_ref, q_ref, k_ref, k_ref, o_ref,
+                    m_ref, s_ref, acc_ref, **kw)
+
+
 def slot_attention(
     q: jax.Array,        # [B, H, D] this step's queries (T=1)
     k_pool: jax.Array,   # [L*N, ps, K, D] flattened slot pools (row n of
-    v_pool: jax.Array,   #   layer l at index l*N + n; N == B in slot mode)
+    v_pool: jax.Array | None,  # layer l at index l*N + n; N == B in slot
+    #   mode). None ⇒ v IS k (MLA latent cache) — halves the context DMA.
     limit: jax.Array,    # [B] int32 — valid keys = min(seq_len, pos+1)
     layer: jax.Array,    # traced scalar layer index
     *, n_rows: int, slot_ctx: int, scale: float | None = None,
@@ -151,15 +166,16 @@ def slot_attention(
         return (sp[0] * blocks_per_layer + i,
                 jnp.minimum(c, sp[1 + i] - 1), 0, 0)
 
+    shared = v_pool is None
+    kv_specs = [pl.BlockSpec((rb, cb, K, D), kv_map,
+                             memory_space=pltpu.VMEM)] * (1 if shared else 2)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_rb, n_cb),
         in_specs=[
             pl.BlockSpec((rb, H, D), lambda i, c, *r: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((rb, cb, K, D), kv_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((rb, cb, K, D), kv_map, memory_space=pltpu.VMEM),
-        ],
+        ] + kv_specs,
         out_specs=pl.BlockSpec((rb, H, D), lambda i, c, *r: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
@@ -168,11 +184,13 @@ def slot_attention(
             pltpu.VMEM((rb, H, D), jnp.float32),
         ],
     )
+    kernel = _slot_attn_kernel_shared if shared else _slot_attn_kernel
+    operands = (sp, lim, q) + ((k_pool,) if shared else (k_pool, v_pool))
     out = pl.pallas_call(
-        functools.partial(_slot_attn_kernel, scale=scale, n_kv=K, group=G,
+        functools.partial(kernel, scale=scale, n_kv=K, group=G,
                           block_rows=rb, block_ctx=cb),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, H, D), q.dtype),
         interpret=interpret,
-    )(sp, lim, q.reshape(B, K, G, D).reshape(B, H, D), k_pool, v_pool)
-    return out.reshape(B, K, G, D).reshape(B, H, D)
+    )(*operands)
+    return out

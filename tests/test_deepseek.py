@@ -172,3 +172,58 @@ def test_mla_fused_decode_matches_unfused():
     np.testing.assert_allclose(np.asarray(fk, np.float32),
                                np.asarray(rk, np.float32),
                                rtol=0.08, atol=0.05)
+
+
+def test_mla_slot_pallas_matches_xla(params):
+    """Slot-mode decode with the shared-pool Pallas kernel (impl="pallas",
+    interpret on CPU) vs the XLA masked path — same pools, same logits."""
+    from deepsearch_tts_tpu.engine.kvcache import init_kv_pages
+
+    B, T = 2, 5
+    toks = jax.random.randint(jax.random.PRNGKey(9), (B, T + 1), 0,
+                              CFG.vocab_size, jnp.int32)
+    # slot layout: one pool row per batch row, page size = max_len
+    k_pages, v_pages = init_kv_pages(CFG.n_layers, B, 16, CFG.n_kv_heads,
+                                     CFG.head_dim)
+    pos = jnp.tile(jnp.arange(T, dtype=jnp.int32), (B, 1))
+    table = jnp.arange(B, dtype=jnp.int32)[:, None]
+    _, (k_pages, v_pages) = forward(params, CFG, toks[:, :T], pos,
+                                    k_pages=k_pages, v_pages=v_pages,
+                                    page_table=table,
+                                    seq_lens=jnp.full((B,), T, jnp.int32))
+    kw = dict(k_pages=k_pages, v_pages=v_pages, page_table=None,
+              seq_lens=jnp.full((B,), T + 1, jnp.int32), slot_decode=True)
+    ref, _ = forward(params, CFG, toks[:, T:],
+                     jnp.full((B, 1), T, jnp.int32), impl="xla", **kw)
+    got, _ = forward(params, CFG, toks[:, T:],
+                     jnp.full((B, 1), T, jnp.int32), impl="pallas", **kw)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=5e-2, atol=6e-2)
+
+
+def test_mla_slot_pallas_engine_deterministic():
+    """Slot+pallas MLA engine drive: deterministic across runs and healthy
+    to completion. Cross-impl token equality is NOT asserted — the kernel's
+    (valid) online-softmax numerics feed layer N+1's KV writes, so greedy
+    near-ties on a random-init model may flip vs XLA even though
+    forward-level parity holds (see test_mla_slot_pallas_matches_xla)."""
+    from deepsearch_tts_tpu.engine.engine import Engine, GenerationRequest
+    from deepsearch_tts_tpu.engine.tokenizer import ByteTokenizer
+
+    params_ = init_params(CFG, jax.random.PRNGKey(0))
+    tk = ByteTokenizer()
+
+    def run():
+        eng = Engine("deepseek-v3-test", tk, params=params_, max_slots=2,
+                     max_seq_len=64, decode_chunk_len=4, cache_mode="slot",
+                     attn_impl="pallas")
+        out = eng.generate(GenerationRequest(
+            prompt_ids=list(tk.encode("mla slot drive")), max_tokens=10,
+            temperature=0.0, repetition_penalty=1.0))
+        eng.shutdown()
+        return out
+
+    a, b = run(), run()
+    assert a.token_ids == b.token_ids
+    assert len(a.token_ids) == 10 and a.finish_reason == "length"

@@ -164,3 +164,31 @@ def test_slot_attention_matches_xla():
         np.testing.assert_allclose(np.asarray(got, np.float32),
                                    np.asarray(want, np.float32),
                                    rtol=0.05, atol=0.02)
+
+
+def test_slot_attention_shared_pool_matches_xla():
+    """MLA-style shared pool (k IS v, K=1): one-operand kernel vs the XLA
+    masked path."""
+    import numpy as _np
+
+    from deepsearch_tts_tpu.ops.attention import masked_context_attention
+    from deepsearch_tts_tpu.ops.slot_attention import slot_attention
+
+    L, B, ps, H, D = 2, 8, 32, 6, 48   # K=1 latent rows
+    rng = _np.random.default_rng(11)
+    pool = jnp.asarray(rng.standard_normal((L * B, ps, 1, D)) * 0.3,
+                       jnp.bfloat16)
+    q = jnp.asarray(rng.standard_normal((B, H, D)) * 0.3, jnp.bfloat16)
+    lens = jnp.asarray([1, 3, 17, 32, 9, 2, 16, 31], jnp.int32)
+    scale = 0.17
+
+    for layer in range(L):
+        kl = pool[layer * B:(layer + 1) * B]
+        want = masked_context_attention(
+            q[:, None], kl, kl, lens, (lens - 1)[:, None], scale=scale)[:, 0]
+        got = slot_attention(q, pool, None, lens, jnp.int32(layer),
+                             n_rows=B, slot_ctx=ps, scale=scale,
+                             interpret=True)
+        np.testing.assert_allclose(np.asarray(got, np.float32),
+                                   np.asarray(want, np.float32),
+                                   rtol=0.05, atol=0.02)
