@@ -354,7 +354,14 @@ def forward(
                         impl=impl if impl == "ring" else "xla",
                         ring_mesh=ring_mesh, ring_axis=ring_axis)
                 elif slot_decode:
-                    if impl == "pallas" and q_eff.shape[1] == 1:
+                    # the latent row dim (kv_lora + rope; 576 on real
+                    # DeepSeek-V3, 288 on the bench config) is not a lane
+                    # multiple — Mosaic pads every block and the kernel
+                    # measures 377 tok/s vs XLA's ~4k (r3). Kernel only
+                    # when the row dim tiles cleanly; XLA slice otherwise.
+                    lane_ok = (cfg.kv_lora_rank
+                               + cfg.qk_rope_head_dim) % 128 == 0
+                    if impl == "pallas" and q_eff.shape[1] == 1 and lane_ok:
                         # shared-pool slot kernel: MLA's latent rows are
                         # both k and v, so one context DMA feeds both
                         # contractions (ops/slot_attention.py)

@@ -174,11 +174,20 @@ def test_mla_fused_decode_matches_unfused():
                                rtol=0.08, atol=0.05)
 
 
-def test_mla_slot_pallas_matches_xla(params):
+def test_mla_slot_pallas_matches_xla():
     """Slot-mode decode with the shared-pool Pallas kernel (impl="pallas",
-    interpret on CPU) vs the XLA masked path — same pools, same logits."""
+    interpret on CPU) vs the XLA masked path — same pools, same logits.
+
+    Uses a lane-aligned latent config (kv_lora+rope = 128): the kernel is
+    gated on that alignment (unaligned rows measured 377 tok/s on HW, the
+    default test config falls back to XLA)."""
+    from dataclasses import replace
+
     from deepsearch_tts_tpu.engine.kvcache import init_kv_pages
 
+    CFG = replace(DEEPSEEK_V3_CONFIGS["deepseek-v3-test"],
+                  kv_lora_rank=96, qk_rope_head_dim=32)
+    params = init_params(CFG, jax.random.PRNGKey(0))
     B, T = 2, 5
     toks = jax.random.randint(jax.random.PRNGKey(9), (B, T + 1), 0,
                               CFG.vocab_size, jnp.int32)
