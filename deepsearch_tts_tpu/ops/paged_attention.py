@@ -1,10 +1,19 @@
 """Pallas TPU paged attention (decode and chunked-prefill over a paged KV
 cache).
 
-STATUS — DEMOTED to opt-in (measured, v5e via axon, 1.5B geometry):
-XLA's gather+attention chain wins decode at every shape tried, so the
-engine defaults to ``attn_impl="xla"`` and these kernels stay for A/B and
-other parts/toolchains:
+STATUS — MEASURED-NEGATIVE ARCHIVE (VERDICT r3 #10, settled). Three
+kernel generations were benched on v5e (axon tunnel, 1.5B geometry) and
+XLA's gather+attention chain won paged decode at every shape tried, from
+ctx 192 through 2048 — the gather is already fully fused and page-granular
+(128KB) DMAs are latency-bound on this part. The production Pallas win came
+from changing the LAYOUT instead: the contiguous-slot cache
+(ops/slot_attention.py) streams 2MB row blocks and beats XLA everywhere, so
+it is the engine default for slot mode. Nothing auto-selects this module;
+it stays in-tree as (a) the A/B counterfactual behind that conclusion
+(scripts/micro_attn.py drives it), (b) the chunked-prefill paged kernel,
+and (c) the starting point if a future part with faster small-DMA issue
+(or >2k contexts where per-row clamping would beat the gather's
+whole-bucket reads) reopens the question. The numbers that demoted it:
 
 * grid kernel (B,P): 2668 tok/s unbucketed (r1); 5599 in-engine with
   bucketed tables (r2) vs 6300-6470 XLA.

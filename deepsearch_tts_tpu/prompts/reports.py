@@ -239,6 +239,76 @@ def get_direct_report_instruction(question: str) -> str:
 """
 
 
+# ---- reference-name surface --------------------------------------------------
+# Every ``get_*`` in the reference's prompts_report.py resolves under its
+# exact name (reference: scripts/prompts/prompts_report.py:163-311), so code
+# written against the reference imports drop-in. The four QA-side names that
+# the reference keeps in prompts_report.py (deep_web_explorer,
+# click_web_page_reader, search_intent, click_intent) live in prompts/qa.py
+# under identical names and are re-validated by tests/test_prompts.py.
+
+
+def get_write_section_instruction(question: str, previous_thoughts: str,
+                                  relevant_documents: str, section_name: str,
+                                  task: str, current_article: str) -> str:
+    """Reference-signature section writer (prompts_report.py:163-193):
+    (question, previous_thoughts, relevant_documents, section_name, task,
+    current_article) — maps onto :func:`get_section_write_instruction`."""
+    return get_section_write_instruction(
+        question=question, plan=previous_thoughts,
+        section_name=section_name, section_goal=task,
+        evidence=relevant_documents, written_so_far=current_article)
+
+
+def get_edit_section_instruction(edit_instruction: str, article: str) -> str:
+    """Targeted section edit (reference: prompts_report.py:225-247).
+
+    Contract differs from :func:`get_edit_article_instruction`: the model
+    outputs TWO ```markdown blocks — the untouched original section (so the
+    report loop can locate it by string match) followed by the modified
+    section — instead of the whole article."""
+    return f"""You are a professional article editor. Apply the edit instruction below to the article.
+
+Edit instruction:
+{edit_instruction}
+
+Current article:
+{article}
+
+First output the entire section/subsection that needs modification exactly as it appears, then output that entire section/subsection with the edit applied — both in markdown format.
+
+Output Format:
+
+Entire section/subsection to modify:
+```markdown
+...
+```
+
+Entire modified section/subsection:
+```markdown
+...
+```
+"""
+
+
+def get_title_instruction(question: str, article: str) -> str:
+    """Reference name for :func:`get_report_title_instruction`
+    (prompts_report.py:250-259)."""
+    return get_report_title_instruction(question, article)
+
+
+def get_standard_rag_report_instruction(question: str, documents: str) -> str:
+    """Reference name for :func:`get_rag_report_instruction`
+    (prompts_report.py:284-297)."""
+    return get_rag_report_instruction(question, documents)
+
+
+def get_direct_gen_report_instruction(question: str) -> str:
+    """Reference name for :func:`get_direct_report_instruction`
+    (prompts_report.py:300-311)."""
+    return get_direct_report_instruction(question)
+
+
 # ---- pairwise report judging (evaluate_report equivalent) -------------------
 
 REPORT_JUDGE_DIMENSIONS = ("comprehensiveness", "thoroughness", "factuality", "coherence")
