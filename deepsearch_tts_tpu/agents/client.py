@@ -98,6 +98,9 @@ class EngineClient:
             top_p=float(o["top_p"]),
             min_p=float(o["min_p"]),
             repetition_penalty=float(o["repetition_penalty"]),
+            # logit-level budget forcing: the engine suppresses EOS in-program
+            # until min_tokens are generated (engine/sampling.py:80)
+            min_tokens=int(o.get("min_tokens", 0)),
             stop=tuple(stop) + tuple(o.get("stop", ())),
             include_stop_str=bool(o.get("include_stop_str_in_output", False)),
         )

@@ -49,6 +49,19 @@ class PolicyAgent:
     stats: Any = None
     tools: list = field(default_factory=lambda: [P.DEEP_WEBSEARCH_TOOL])
     verifier_version: int = 0
+    # sequential-scaling mechanism for the *_budget_forcing modes:
+    #   "text"  — the reference's user nudge only (scripts/deep_search.py:
+    #             1935-1939 appends "I will give you up to N additional
+    #             chances...")
+    #   "logit" — the nudge PLUS on-device EOS suppression for the re-entry
+    #             turn: the engine refuses to sample EOS until
+    #             min_thinking_tokens have been generated
+    #             (engine/sampling.py:80), forcing continued reasoning at the
+    #             logit level instead of hoping the model obeys the prompt.
+    #             The trace format is unchanged — the nudge message stays, so
+    #             budget-forced runs remain diffable against reference runs.
+    budget_forcing: str = "text"
+    min_thinking_tokens: int = 512
 
     # ------------------------------------------------------------------ modes
 
@@ -77,7 +90,8 @@ class PolicyAgent:
         messages = list(messages) + [{
             "role": "user", "content": P.get_budget_forcing_nudge(msc, "solve"),
         }]
-        return await self._run_loop(messages, msc, mode="solve")
+        return await self._run_loop(messages, msc, mode="solve",
+                                    first_turn_opts=self._force_opts())
 
     async def verify_budget_forcing(self, messages: list[dict],
                                     max_search_calls: int | None = None) -> TrajectoryResult:
@@ -85,7 +99,14 @@ class PolicyAgent:
         messages = list(messages) + [{
             "role": "user", "content": P.get_budget_forcing_nudge(msc, "verify"),
         }]
-        return await self._run_loop(messages, msc, mode="verify")
+        return await self._run_loop(messages, msc, mode="verify",
+                                    first_turn_opts=self._force_opts())
+
+    def _force_opts(self) -> dict | None:
+        """Extra generation opts for the budget-forcing re-entry turn."""
+        if self.budget_forcing == "logit" and self.min_thinking_tokens > 0:
+            return {"min_tokens": self.min_thinking_tokens}
+        return None
 
     async def solve_best_of_n(
         self, question: str, n: int = 4,
@@ -152,7 +173,8 @@ class PolicyAgent:
     # ------------------------------------------------------------------- loop
 
     async def _run_loop(self, messages: list[dict], max_search_calls: int,
-                        mode: str) -> TrajectoryResult:
+                        mode: str,
+                        first_turn_opts: dict | None = None) -> TrajectoryResult:
         search_results: list[dict] = []
         search_calls = 0
         max_iterations = max_search_calls + 5
@@ -167,7 +189,12 @@ class PolicyAgent:
                     error="max_iterations",
                 )
 
-            resp = await self.client.chat(messages, tools=self.tools, **self.gen_opts)
+            # first_turn_opts (logit-level budget forcing) applies only to the
+            # re-entry generation; subsequent turns sample normally
+            opts = self.gen_opts
+            if iteration == 1 and first_turn_opts:
+                opts = {**self.gen_opts, **first_turn_opts}
+            resp = await self.client.chat(messages, tools=self.tools, **opts)
             if self.stats is not None:
                 self.stats.record_main(resp.usage)
 

@@ -91,6 +91,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="tensor-parallel ways for the engine (0 = single chip)")
     p.add_argument("--limit", type=int, default=0, help="max problems (0 = all)")
     p.add_argument("--verifier_version", type=int, default=0)
+    p.add_argument("--budget_forcing", type=str, default="text",
+                   choices=["text", "logit"],
+                   help="*_budget_forcing re-entry mechanism: 'text' = the "
+                        "reference's user nudge only; 'logit' = nudge + "
+                        "on-device EOS suppression (engine refuses EOS until "
+                        "--min_thinking_tokens are generated)")
+    p.add_argument("--min_thinking_tokens", type=int, default=512,
+                   help="forced continuation length for --budget_forcing logit")
     p.add_argument("--n_samples", type=int, default=4,
                    help="samples for --mode solve_bestofn (parallel scaling)")
     return p
@@ -203,7 +211,9 @@ def main(argv=None):
     agent = PolicyAgent(main_client, search_tool=tool,
                         max_search_calls=args.max_search_calls,
                         gen_opts=gen_opts, stats=stats,
-                        verifier_version=args.verifier_version)
+                        verifier_version=args.verifier_version,
+                        budget_forcing=args.budget_forcing,
+                        min_thinking_tokens=args.min_thinking_tokens)
 
     if args.mode == "search":
         if not args.query:
