@@ -395,6 +395,10 @@ def load_or_init_params(model_name: str, weights_path: str = "",
             return convert_qwen3_moe(raw, cfg), fam.name
         return convert_qwen3_dense(raw, cfg), fam.name
     cfg = fam.config
+    if getattr(cfg, "custom_init", False):
+        # registry-extension families (scripted test models, external
+        # plugins) own their init — don't assume qwen3-shaped attributes
+        return fam.init_params(cfg, jax.random.PRNGKey(seed)), fam.name
     if not hasattr(cfg, "n_experts") and not hasattr(cfg, "kv_lora_rank"):
         # dense: host-side bulk init — per-parameter jax.random dispatches
         # hundreds of tiny device programs (pathological over remote compile)
