@@ -146,10 +146,13 @@ def main():
     PFG = os.environ.get("BENCH_PFGROUP")  # prefill rows per dispatch
     MODE = os.environ.get("BENCH_MODE", "")  # "" | multiturn | sustained
     # in-flight chunked prefill width (tokens per decode step); defaults on
-    # for the sustained mode, where prompts arrive while decode runs
+    # for the sustained mode, where prompts arrive while decode runs. r4:
+    # the lane rides the slot cache too (lane rows write into the slot row's
+    # contiguous buffer). Width sized to the steady-state churn: at B slots
+    # and mean decode DECODE, refill needs ~B*PROMPT/DECODE prompt tokens
+    # per decode step's worth of work.
     LANE = int(os.environ.get("BENCH_LANE",
-                              16 if (MODE == "sustained"
-                                     and CACHE_MODE != "slot") else 0))
+                              64 if MODE == "sustained" else 0))
     # lane completions per chunk; 0 = engine default. Steady-state churn is
     # max_slots*chunk/mean_decode completions per chunk.
     LANE_ACT = int(os.environ.get("BENCH_LANE_ACT", 0)) or None
@@ -192,8 +195,17 @@ def main():
 
     # warmup: compile decode + the prefill group shapes the run will use
     # (group-of-8 fused prefill+sample, group-of-1 leftovers), then one real
-    # request end-to-end
-    engine.warmup(prompt_lens=(PROMPT,))
+    # request end-to-end. max_ctx bounds the decode-bucket ladder to what
+    # this run can actually reach — every skipped bucket is a multi-second
+    # remote compile saved from init_s (r3 capture: 212s at default config).
+    if MODE == "multiturn":
+        MAXCTX = PROMPT + 2 * DECODE + 64 + CHUNK + 2
+    elif MODE == "sustained":
+        MAXCTX = PROMPT + (DECODE // 2 + DECODE) + CHUNK + 2
+    else:  # burst + the deployment phase's sustained round (staggered lens)
+        MAXCTX = PROMPT + (DECODE // 2 + DECODE) + CHUNK + 2
+    MAXCTX = min(MAXCTX, SEQLEN)
+    engine.warmup(prompt_lens=(PROMPT,), max_ctx=MAXCTX)
     engine.generate(req(-1))
     engine.stats.update(decode_tokens=0, decode_time_s=0.0, decode_steps=0,
                         prefill_tokens=0, prefill_time_s=0.0, requests=0,
@@ -206,32 +218,63 @@ def main():
                          prefill_time_s=0.0, requests=0, lane_tokens=0,
                          slot_steps=0, prefill_dispatches=0, prefill_rows=0)
 
-    def sustained_round(eng, nslots, total):
-        # steady-state serving: keep nslots in flight, refill on completion
-        # until `total` requests finish — new prompts prefill through the
-        # lane while the resident batch decodes
+    def sustained_round(eng, nslots, total=None, warm=None):
+        """Steady-state serving: keep ``nslots`` in flight, refill on every
+        completion until ``total`` requests have been submitted.
+
+        Metrics come from a measurement WINDOW that excludes the cold ramp
+        (first ``warm`` completions) and the drain tail (after the last
+        refill, in-flight decays to zero — an infinite workload has no such
+        phase, so including it understates steady-state throughput; r3's
+        sustained_e2e was ~50% drain by wall time at total=2B). Within the
+        window the in-flight count is exactly ``nslots`` at every instant.
+        Window e2e = completion tokens finishing inside it / window wall;
+        window decode/occupancy come from telemetry deltas."""
         import queue as _q
 
+        total = total or 4 * nslots
+        warm = warm if warm is not None else nslots
         reset_stats(eng)
         t0 = time.monotonic()
         doneq: _q.Queue = _q.Queue()
         submitted = 0
+
+        def snap():
+            return {k: eng.stats[k] for k in
+                    ("decode_tokens", "decode_time_s", "slot_steps",
+                     "prefill_tokens", "lane_tokens")}
+
         for i in range(nslots):
             eng.submit(req(i, stag(i))).add_done_callback(doneq.put)
             submitted += 1
         results = []
+        win: dict = {}
+        win_tokens = 0
         while len(results) < total:
             f = doneq.get(timeout=3600)
-            results.append(f.result())
+            r = f.result()
+            results.append(r)
+            if "t0" in win and "t1" not in win:
+                win_tokens += r.completion_tokens
+            if len(results) == warm and "t0" not in win:
+                win["t0"], win["s0"] = time.monotonic(), snap()
             if submitted < total:
                 eng.submit(req(submitted, stag(submitted))) \
                     .add_done_callback(doneq.put)
                 submitted += 1
+                if submitted == total:
+                    win["t1"], win["s1"] = time.monotonic(), snap()
         wall = time.monotonic() - t0
         st = eng.telemetry()
+        w_wall = max(win["t1"] - win["t0"], 1e-9)
+        d = {k: win["s1"][k] - win["s0"][k] for k in win["s0"]}
         return {
-            "decode_tps": st["decode_tokens"] / max(st["decode_time_s"], 1e-9),
-            "e2e_tok_s": sum(r.completion_tokens for r in results) / wall,
+            "decode_tps": d["decode_tokens"] / max(d["decode_time_s"], 1e-9),
+            "e2e_tok_s": win_tokens / w_wall,
+            "occupancy": d["decode_tokens"] / max(d["slot_steps"], 1),
+            "decode_busy_frac": d["decode_time_s"] / w_wall,
+            "window_s": w_wall, "window_tokens": win_tokens,
+            "full_run_e2e": sum(r.completion_tokens for r in results) / wall,
             "wall_s": wall, "stats": st,
             "cached_prompt_tokens": 0,
         }
@@ -243,7 +286,7 @@ def main():
     rounds = []
     for _ in range(int(os.environ.get("BENCH_ROUNDS", 3))):
         if sustained:
-            rounds.append(sustained_round(engine, B, 3 * B))
+            rounds.append(sustained_round(engine, B))
             continue
         reset_stats(engine)
         t0 = time.monotonic()
@@ -329,12 +372,11 @@ def main():
                 kv_quantize=KVQUANT, pack_weights=PACK,
                 context_buckets=BUCKETS, layer_fusion=FUSED,
                 max_prefill_group=int(PFG) if PFG else None,
-                # the lane rides the paged decode program; slot mode
-                # prefills in batched dispatches instead
-                prefill_lane=(0 if CACHE_MODE == "slot" else
-                              int(os.environ.get("BENCH_DEPLOY_LANE", 16))),
+                # the lane rides the decode program in both cache layouts
+                # (r4: slot-mode lane writes into the slot row's buffer)
+                prefill_lane=int(os.environ.get("BENCH_DEPLOY_LANE", 64)),
                 lane_max_act=LANE_ACT or 16)
-            dep.warmup(prompt_lens=(PROMPT,))
+            dep.warmup(prompt_lens=(PROMPT,), max_ctx=MAXCTX)
             dep.generate(req(-2))
             dep_init_s = time.monotonic() - t_d
             reset_stats(dep)
@@ -345,7 +387,7 @@ def main():
             dst = dep.telemetry()
             burst_tps = dst["decode_tokens"] / max(dst["decode_time_s"], 1e-9)
             burst_e2e = sum(r.completion_tokens for r in dres) / dwall
-            sus = sustained_round(dep, DB, 2 * DB)
+            sus = sustained_round(dep, DB)
             dep_step_bytes = pbytes + DB * avg_ctx * kv_bytes_per_tok
             dep_roof = DB / (dep_step_bytes / chip_bw_bytes())
             deployment = {
@@ -358,6 +400,11 @@ def main():
                 "sustained_e2e_tok_s": round(sus["e2e_tok_s"], 1),
                 "sustained_e2e_over_decode": round(
                     sus["e2e_tok_s"] / max(sus["decode_tps"], 1e-9), 4),
+                "sustained_occupancy": round(sus["occupancy"], 4),
+                "sustained_decode_busy_frac": round(
+                    sus["decode_busy_frac"], 4),
+                "sustained_window_s": round(sus["window_s"], 2),
+                "sustained_full_run_e2e": round(sus["full_run_e2e"], 1),
                 "roofline_tok_s": round(dep_roof, 1),
                 "vs_roofline": round(burst_tps / dep_roof, 4),
                 "lane_tokens": sus["stats"].get("lane_tokens", 0),

@@ -399,6 +399,13 @@ class Engine:
         self.pipeline_decode = pipeline_decode
         self.ring_prefill_len = ring_prefill_len
         self.sp_impl = sp_impl
+        # admission-injection capacity: how many dispatched-but-unsynced
+        # prefill groups can feed first tokens device-side into one decode
+        # chunk. Sized so a full cold burst (max_slots / MAX_PREFILL_GROUP
+        # groups) never syncs a prefill inline before decode starts — each
+        # inline sync costs a full tunnel round trip (~58ms measured r3,
+        # the main burst e2e/decode gap).
+        self.n_inject = max(2, min(6, -(-max_slots // self.MAX_PREFILL_GROUP)))
         self._pending = None           # in-flight decode chunk (see _dispatch)
         self._last_decode_end = 0.0    # pipelined decode_time accounting
         # device copies of slow-changing host state; re-uploaded only after
@@ -410,8 +417,6 @@ class Engine:
         if lane_max_act:  # instance override of the class default
             self.LANE_MAX_ACT = int(lane_max_act)
         if self.prefill_lane:
-            if cache_mode == "slot":
-                raise ValueError("prefill_lane requires the paged cache")
             if "lane_tokens" not in inspect.signature(fam.forward).parameters:
                 raise ValueError(
                     f"model family {model_name!r} has no prefill-lane path")
@@ -514,7 +519,7 @@ class Engine:
 
     def _build_decode_fn(self, slot_ctx: int | None = None):
         if self.prefill_lane:
-            return self._build_decode_lane_fn()
+            return self._build_decode_lane_fn(slot_ctx)
         cfg, fwd = self.cfg, self.forward
         chunk = self.decode_chunk_len
         impl = self.attn_impl
@@ -524,11 +529,13 @@ class Engine:
 
         kv_q = bool(self.kv_quantize)
 
+        n_inject = self.n_inject
+
         @partial(jax.jit, donate_argnums=(0, 1, 2, 5))
         def decode_chunk(k_pages, v_pages, kv_aux, params, page_tables, seen,
                          last_tok, seq_lens, host_last, host_lens, use_host,
                          active, samp, key, min_tokens, prompt_lens,
-                         inject_rows, inject_toks0, inject_toks1):
+                         inject_rows, inject_toks):
             # pipelined dispatch: rows reset on the host since the carry was
             # produced (admitted/finished) take the host values; merging here
             # keeps it inside the one decode program (a separate scatter
@@ -536,13 +543,12 @@ class Engine:
             last_tok = jnp.where(use_host, host_last, last_tok)
             seq_lens = jnp.where(use_host, host_lens, seq_lens)
             # admission injection: freshly prefilled rows take their first
-            # token straight from the prefill program's device output —
-            # the chunk after a refill dispatches without waiting for the
+            # token straight from the prefill programs' device outputs —
+            # the chunk after a refill dispatches without waiting for any
             # prefill sync (rows=B for padding: scatter dropped)
-            last_tok = last_tok.at[inject_rows[0]].set(inject_toks0,
-                                                       mode="drop")
-            last_tok = last_tok.at[inject_rows[1]].set(inject_toks1,
-                                                       mode="drop")
+            for gi in range(n_inject):
+                last_tok = last_tok.at[inject_rows[gi]].set(inject_toks[gi],
+                                                            mode="drop")
             def step(carry, step_key):
                 kp, vp, aux, last, lens, seen = carry
                 sp = SamplingParams(
@@ -585,35 +591,39 @@ class Engine:
 
         return decode_chunk
 
-    def _build_decode_lane_fn(self):
+    def _build_decode_lane_fn(self, slot_ctx: int | None = None):
         """Decode-chunk program with the in-flight prefill lane: every step
         carries ``Tp`` prompt tokens of one pending request through the same
         forward (models/qwen3.forward lane args) — prompt prefill rides
         decode's HBM-bound weight reads instead of stalling it. Prompts that
         complete mid-chunk get their first token sampled post-scan from the
         recorded lane logits; the host activates their slots at process
-        time."""
+        time. Works for both cache layouts: paged (lane pages via
+        lane_table) and slot (lane writes into slot row lane_table[0]'s
+        contiguous buffer; ``slot_ctx`` buckets the pool slice)."""
         cfg, fwd = self.cfg, self.forward
         chunk = self.decode_chunk_len
         impl = self.attn_impl
         A = self.LANE_MAX_ACT
+        slot_mode = self.cache_mode == "slot"
 
         eos_id = self.tokenizer.eos_id if self.tokenizer.eos_id is not None else -1
         kv_q = bool(self.kv_quantize)
+
+        n_inject = self.n_inject
 
         @partial(jax.jit, donate_argnums=(0, 1, 2, 5))
         def decode_chunk(k_pages, v_pages, kv_aux, params, page_tables, seen,
                          last_tok, seq_lens, host_last, host_lens, use_host,
                          active, samp, key, min_tokens, prompt_lens,
-                         inject_rows, inject_toks0, inject_toks1,
+                         inject_rows, inject_toks,
                          lane_tokens, lane_pos, lane_tables, lane_lens,
                          lane_logit_rows, act_slots, act_steps, act_seen):
             last_tok = jnp.where(use_host, host_last, last_tok)
             seq_lens = jnp.where(use_host, host_lens, seq_lens)
-            last_tok = last_tok.at[inject_rows[0]].set(inject_toks0,
-                                                       mode="drop")
-            last_tok = last_tok.at[inject_rows[1]].set(inject_toks1,
-                                                       mode="drop")
+            for gi in range(n_inject):
+                last_tok = last_tok.at[inject_rows[gi]].set(inject_toks[gi],
+                                                            mode="drop")
 
             def step(carry, xs):
                 kp, vp, aux, last, lens, seen = carry
@@ -626,7 +636,8 @@ class Engine:
                     eos_id=eos_id,
                 )
                 pos = jnp.where(active, lens, -1)[:, None]
-                fwd_kw = {}
+                fwd_kw = ({"slot_decode": True, "slot_ctx": slot_ctx}
+                          if slot_mode else {})
                 if self.layer_fusion:
                     fwd_kw["fused_decode"] = True
                 if kv_q:
@@ -818,7 +829,7 @@ class Engine:
         self.params = params
 
     def warmup(self, prompt_lens=(128,), group_sizes=None, decode=True,
-               fresh_variants=(True,)) -> None:
+               fresh_variants=(True,), max_ctx: int | None = None) -> None:
         """Pre-compile the hot programs so serving never pays compile latency.
 
         Dispatches dummy prefill groups (per prompt-length bucket x group
@@ -828,6 +839,12 @@ class Engine:
         scheduler loop). On the axon TPU path every distinct program costs a
         multi-second remote compile — warming here moves that out of the
         measured serving window.
+
+        ``max_ctx`` bounds the context buckets compiled for decode: when the
+        deployment knows its prompt+generation ceiling, buckets beyond it are
+        skipped (each unused bucket is a wasted multi-second remote compile —
+        the ladder to a 512-token budget alone is ~7 programs). Sequences
+        that outgrow the hint still work; they just pay one lazy compile.
         """
         if group_sizes is None:  # every pow2 group shape the scheduler can form
             group_sizes = tuple(1 << i for i in range(
@@ -859,10 +876,22 @@ class Engine:
                     )
         if decode:
             if self.cache_mode == "slot":
-                variants = [(1, s) for s in (
-                    self._slot_buckets() if self.context_buckets else [None])]
+                buckets = (self._slot_buckets() if self.context_buckets
+                           else [None])
+                if max_ctx is not None and self.context_buckets:
+                    keep = [b for b in buckets if b < max_ctx]
+                    # + the first bucket covering max_ctx
+                    cover = [b for b in buckets if b >= max_ctx]
+                    buckets = keep + cover[:1]
+                variants = [(1, s) for s in buckets]
             else:
-                variants = [(p, None) for p in self._decode_buckets()]
+                buckets = self._decode_buckets()
+                if max_ctx is not None and self.context_buckets:
+                    need = -(-max_ctx // self.page_size)
+                    keep = [b for b in buckets if b < need]
+                    cover = [b for b in buckets if b >= need]
+                    buckets = keep + cover[:1]
+                variants = [(p, None) for p in buckets]
             for p_cur, s_cur in variants:
                 self.rng, key = jax.random.split(self.rng)
                 samp = {k: jnp.asarray(v) for k, v in self.samp_host.items()}
@@ -1180,13 +1209,13 @@ class Engine:
                     for p in sub:
                         self._fail_prepared(p, e)
         if defer:
-            # admission injection: activate the newest ≤2 groups WITHOUT
-            # syncing — the next decode dispatch takes their first tokens
-            # straight from the device (_inject_args) and the sync then
-            # overlaps that chunk's execution. Earlier groups (rare >2-group
-            # bursts) sync here; they complete first, so the wait is the
-            # same one the injected groups' programs are already hiding.
-            room = 2 - len(self._inject_handles)
+            # admission injection: activate the newest ≤n_inject groups
+            # WITHOUT syncing — the next decode dispatch takes their first
+            # tokens straight from the device (_inject_args) and the sync
+            # then overlaps that chunk's execution. Earlier groups (bursts
+            # beyond n_inject) sync here; they complete first, so the wait
+            # is the same one the injected groups' programs already hide.
+            room = self.n_inject - len(self._inject_handles)
             if room > 0 and handles:
                 deferred, handles = handles[len(handles) - room:], \
                     handles[: len(handles) - room]
@@ -1532,7 +1561,8 @@ class Engine:
         fut = slot.future
         self.allocator.free(slot.shared_pages)
         self.allocator.free(slot.pages)
-        self.page_tables[slot.idx, :] = 0
+        self.page_tables[slot.idx, :] = (
+            slot.idx if self.cache_mode == "slot" else 0)
         self.seq_lens[slot.idx] = 0
         self._mark_dirty()
         slot.reset()
@@ -1575,21 +1605,23 @@ class Engine:
         return False
 
     def _inject_args(self, inject: tuple = ()) -> tuple:
-        """Admission-injection inputs for the decode program: up to two
-        dispatched-but-unsynced prefill groups whose first-token device
-        arrays feed the chunk directly (rows=max_slots → scatter dropped)."""
+        """Admission-injection inputs for the decode program: up to
+        ``n_inject`` dispatched-but-unsynced prefill groups whose first-token
+        device arrays feed the chunk directly (rows=max_slots → scatter
+        dropped)."""
         MAXG = self.MAX_PREFILL_GROUP
+        N = self.n_inject
         if getattr(self, "_inject_zero", None) is None:
             self._inject_zero = jnp.zeros((MAXG,), jnp.int32)
-        rows = np.full((2, MAXG), self.max_slots, np.int32)
-        toks = [self._inject_zero, self._inject_zero]
-        for gi, h in enumerate(inject[:2]):
+        rows = np.full((N, MAXG), self.max_slots, np.int32)
+        toks = [self._inject_zero] * N
+        for gi, h in enumerate(inject[:N]):
             for g, p in enumerate(h["grp"]):
                 if p["slot"].epoch != h["epochs"][g]:
                     continue  # row reset since admit: leave dropped
                 rows[gi, g] = p["slot"].idx
             toks[gi] = h["first"]
-        return (jnp.asarray(rows), toks[0], toks[1])
+        return (jnp.asarray(rows), tuple(toks))
 
     def _drain_inject(self) -> None:
         """Sync every admission-injected prefill group. MUST be called after
@@ -1670,6 +1702,8 @@ class Engine:
         if self.context_buckets:
             need = int(np.max(np.where(active, predicted, 0), initial=0)) \
                 + chunk + 1
+            if lane_plan is not None:
+                need = max(need, lane_plan["max_tokens_needed"])
             if self.cache_mode == "slot":
                 # slot mode buckets by pool-slice width instead of table
                 # width: one jitted program per token bucket
@@ -1678,8 +1712,6 @@ class Engine:
                         s_cur = b
                         break
             else:
-                if lane_plan is not None:
-                    need = max(need, lane_plan["max_tokens_needed"])
                 need_pages = -(-need // self.page_size)
                 for b in self._decode_buckets():
                     if b >= need_pages:
@@ -1708,7 +1740,7 @@ class Engine:
             la = self._lane_arrays(lane_plan, chunk, p_cur)
             with self.spans.span("decode_dispatch"):
                 (self.k_pages, self.v_pages, self.kv_aux, self.seen, last,
-                 lens, toks, act_first) = self._decode_fn(
+                 lens, toks, act_first) = self._decode_program(s_cur)(
                         self.k_pages, self.v_pages, self.kv_aux, self.params,
                         tables, self.seen,
                         last, lens, host_last, host_lens,

@@ -217,15 +217,19 @@ def forward(
     lane = lane_tokens is not None
     B_dec = tokens.shape[0]
     if lane:
-        assert serving and tokens.shape[1] == 1 and not slot_decode \
-            and not fresh_prefill, "lane rides the paged decode step only"
+        assert serving and tokens.shape[1] == 1 \
+            and not fresh_prefill, "lane rides the decode step only"
         Tp = lane_tokens.shape[0]
         tokens = jnp.concatenate([tokens, lane_tokens[:, None]], axis=0)
         positions = jnp.concatenate([positions, lane_positions[:, None]],
                                     axis=0)
-        page_table = jnp.concatenate(
-            [page_table, jnp.broadcast_to(lane_table[None],
-                                          (Tp,) + lane_table.shape)], axis=0)
+        if not slot_decode:
+            page_table = jnp.concatenate(
+                [page_table, jnp.broadcast_to(lane_table[None],
+                                              (Tp,) + lane_table.shape)],
+                axis=0)
+        # slot mode: the synthetic identity table is built below; lane rows
+        # write into slot row lane_table[0]'s contiguous buffer
     x = jnp.take(params["embed"], tokens, axis=0)
     cos, sin = rope_angles(jnp.maximum(positions, 0), cfg.head_dim, cfg.rope_theta)
 
@@ -250,7 +254,11 @@ def forward(
         else:
             ksf = vsf = None
         if slot_decode:
-            page_table = jnp.arange(tokens.shape[0], dtype=jnp.int32)[:, None]
+            page_table = jnp.arange(B_dec, dtype=jnp.int32)[:, None]
+            if lane:
+                page_table = jnp.concatenate(
+                    [page_table,
+                     jnp.broadcast_to(lane_table[None], (Tp, 1))], axis=0)
 
         use_fused = (fused_decode and tokens.shape[1] == 1
                      and not fresh_prefill
@@ -290,6 +298,8 @@ def forward(
                         q, k, v, impl=impl, ring_mesh=ring_mesh,
                         ring_axis=ring_axis)
                 elif slot_decode:
+                    q_dec = q[:B_dec] if lane else q
+                    pos_dec = positions[:B_dec] if lane else positions
                     if impl == "pallas" and q.shape[1] == 1:
                         # in-kernel multi-row streaming with per-row-block
                         # context clamping (ops/slot_attention.py) — the
@@ -298,9 +308,9 @@ def forward(
                         from ..ops.slot_attention import slot_attention
 
                         limit = jnp.minimum(
-                            seq_lens, jnp.maximum(positions[:, 0], 0) + 1)
+                            seq_lens, jnp.maximum(pos_dec[:, 0], 0) + 1)
                         out = slot_attention(
-                            q[:, 0], kw, vw, limit, layer, n_rows=N,
+                            q_dec[:, 0], kw, vw, limit, layer, n_rows=N,
                             slot_ctx=(slot_ctx if slot_ctx is not None
                                       else kw.shape[1]))[:, None]
                     else:
@@ -310,7 +320,28 @@ def forward(
                             k_ctx = k_ctx[:, :slot_ctx]
                             v_ctx = v_ctx[:, :slot_ctx]
                         out = attn_ops.masked_context_attention(
-                            q, k_ctx, v_ctx, seq_lens, jnp.maximum(positions, 0))
+                            q_dec, k_ctx, v_ctx, seq_lens,
+                            jnp.maximum(pos_dec, 0))
+                    if lane:
+                        # lane rows are ONE sequence living in slot row
+                        # lane_table[0]: read that row's contiguous KV once,
+                        # causal via per-row query positions — prefill keeps
+                        # riding decode's weight reads in slot mode too
+                        H_, D_ = q.shape[2], q.shape[3]
+                        row = lane_table[0] + layer * N
+                        k_row = jax.lax.dynamic_index_in_dim(
+                            kw, row, 0, keepdims=True)
+                        v_row = jax.lax.dynamic_index_in_dim(
+                            vw, row, 0, keepdims=True)
+                        if slot_ctx is not None:
+                            k_row = k_row[:, :slot_ctx]
+                            v_row = v_row[:, :slot_ctx]
+                        out_l = attn_ops.masked_context_attention(
+                            q[B_dec:].reshape(1, Tp, H_, D_), k_row, v_row,
+                            lane_seq_len[None],
+                            jnp.maximum(lane_positions, 0)[None])
+                        out = jnp.concatenate(
+                            [out, out_l.reshape(Tp, 1, H_, D_)], axis=0)
                 elif lane:
                     # decode rows gather their (bucketed) tables; the lane's
                     # Tp rows are ONE sequence — a single [1, Tp] attention

@@ -190,3 +190,48 @@ def test_lane_moe_family():
     finally:
         b.shutdown()
     assert got == want
+
+
+# ----------------------------------------------------------- slot-mode lane
+
+def _mk_slot_engine(params, lane=0):
+    return Engine("qwen3-test", ByteTokenizer(), params=params, max_slots=4,
+                  page_size=4, n_pages=128, max_seq_len=128,
+                  decode_chunk_len=4, seed=0, prefill_lane=lane,
+                  cache_mode="slot")
+
+
+def test_slot_lane_outputs_match_laneless_slot_engine(shared_params):
+    """Slot-cache lane (r4): prompts stream through decode steps writing
+    into the slot row's contiguous buffer; greedy outputs must be
+    token-identical to the lane-less slot engine."""
+    a = _mk_slot_engine(shared_params, lane=0)
+    try:
+        want = _run_staggered(a)
+    finally:
+        a.shutdown()
+    b = _mk_slot_engine(shared_params, lane=4)
+    try:
+        got = _run_staggered(b)
+        stats = dict(b.stats)
+    finally:
+        b.shutdown()
+    for w, g in zip(want, got):
+        assert w.token_ids == g.token_ids
+    assert stats["lane_tokens"] > 0          # the lane actually carried work
+
+
+def test_slot_lane_matches_paged_engine(shared_params):
+    """Cross-layout check: slot+lane greedy outputs equal paged lane-less."""
+    a = _mk_engine(shared_params, lane=0)
+    try:
+        want = _run_staggered(a)
+    finally:
+        a.shutdown()
+    b = _mk_slot_engine(shared_params, lane=4)
+    try:
+        got = _run_staggered(b)
+    finally:
+        b.shutdown()
+    for w, g in zip(want, got):
+        assert w.token_ids == g.token_ids
