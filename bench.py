@@ -124,16 +124,16 @@ def main():
     ATTN = os.environ.get("BENCH_ATTN") or None
     PS = int(os.environ.get("BENCH_PS", 64))
     _MODE0 = os.environ.get("BENCH_MODE", "")
-    # default cache per workload: burst/sustained decode runs the
-    # contiguous-slot cache (the slot Pallas kernel measures 6815 vs 6435
-    # tok/s paged-XLA, r3); multiturn keeps paged + prefix sharing, which
-    # slot mode cannot do (each slot owns its contiguous buffer). MLA
+    # default cache per workload: the contiguous-slot cache everywhere the
+    # model allows (the slot Pallas kernel measures 6824 vs 6435 tok/s
+    # paged-XLA, r3). r4: multiturn runs slot too — slot-mode prefix
+    # PARKING (engine re-admits a returning trajectory into its own row,
+    # token-exact, zero copy) replaced the paged-only prefix sharing. MLA
     # stays paged: its latent rows (kv_lora+rope = 288 here / 576 on real
     # DeepSeek) are not lane multiples and the slot slice path collapses
     # (909 tok/s slot-XLA / 377 slot-kernel vs 5698 paged, r3 measured).
     CACHE_MODE = os.environ.get(
-        "BENCH_CACHE", "paged" if (_MODE0 == "multiturn" or MODEL == "mla"
-                                   or not on_tpu) else "slot")
+        "BENCH_CACHE", "paged" if (MODEL == "mla" or not on_tpu) else "slot")
     QUANT = os.environ.get("BENCH_QUANT") or None        # int8 weights
     KVQUANT = os.environ.get("BENCH_KVQUANT") or None    # int8 KV pages
     PACK = {"1": True, "0": False}.get(os.environ.get("BENCH_PACK", ""))  # None=auto

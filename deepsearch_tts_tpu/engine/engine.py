@@ -281,6 +281,16 @@ class Engine:
         # Attention reads a fusible dynamic slice (no gather copy) — faster
         # decode; trades away page-level prefix sharing. paged: vLLM-style.
         self.cache_mode = cache_mode
+        # slot-mode prefix reuse is PARKING, not sharing (VERDICT r3 #2): a
+        # finished sequence's KV stays in its slot row; a new request whose
+        # prompt extends a parked row's tokens re-admits INTO that row and
+        # prefills only the suffix — zero-copy re-entry for the multi-turn
+        # tool-call workload (reference re-enters with the conversation so
+        # far, scripts/deep_search.py:1820-1859). Stale KV past the match is
+        # overwritten by the suffix prefill before any read. Token-exact
+        # matching (no page granularity).
+        self._slot_park = bool(enable_prefix_cache) and cache_mode == "slot"
+        self._parked: dict[int, dict] = {}   # slot idx -> park record
         if cache_mode == "slot":
             page_size = max_seq_len
             n_pages = max_slots
@@ -449,6 +459,8 @@ class Engine:
             # batched-prefill dispatch count/rows (group-size health)
             "slot_steps": 0, "prefill_dispatches": 0, "prefill_rows": 0,
             "injected_groups": 0,
+            # slot-mode prefix parking (zero-copy multi-turn re-entry)
+            "slot_park_hits": 0, "slot_park_tokens": 0,
         }
         # high-water mark for non-overlapping prefill-time accounting: under
         # two-phase admission all groups dispatch back-to-back before any
@@ -459,11 +471,12 @@ class Engine:
         from .profiling import SpanTimer
 
         self.spans = SpanTimer()
-        self._decode_fn = self._build_decode_fn()
-        # slot-mode context bucketing: one decode program per static pool
-        # slice width (paged mode re-specializes through the table shape
-        # instead, so it stays on the single self._decode_fn)
-        self._decode_fn_by_ctx: dict[int, Any] = {}
+        # decode programs keyed by (slot_ctx bucket, lane_on). Engines with
+        # a prefill lane keep BOTH variants: the lane program's extra rows
+        # cost ~9% per step even when the lane is empty (measured r4,
+        # B=96+lane64 burst 7686 vs 8428 tok/s), so idle-lane chunks
+        # dispatch the plain program.
+        self._decode_fn_cache: dict[tuple, Any] = {}
 
     # ---------------------------------------------------------------- jit fns
 
@@ -486,13 +499,15 @@ class Engine:
         out.add(cap)
         return sorted(out)
 
-    def _decode_program(self, slot_ctx: int | None = None):
-        if slot_ctx is None or self.cache_mode != "slot":
-            return self._decode_fn
-        fn = self._decode_fn_by_ctx.get(slot_ctx)
+    def _decode_program(self, slot_ctx: int | None = None,
+                        lane: bool = False):
+        if self.cache_mode != "slot":
+            slot_ctx = None
+        key = (slot_ctx, bool(lane))
+        fn = self._decode_fn_cache.get(key)
         if fn is None:
-            fn = self._build_decode_fn(slot_ctx)
-            self._decode_fn_by_ctx[slot_ctx] = fn
+            fn = self._build_decode_fn(slot_ctx, lane=lane)
+            self._decode_fn_cache[key] = fn
         return fn
 
     def _decode_buckets(self) -> list[int]:
@@ -517,8 +532,9 @@ class Engine:
         out.add(cap)
         return sorted(out)
 
-    def _build_decode_fn(self, slot_ctx: int | None = None):
-        if self.prefill_lane:
+    def _build_decode_fn(self, slot_ctx: int | None = None,
+                         lane: bool = False):
+        if lane:
             return self._build_decode_lane_fn(slot_ctx)
         cfg, fwd = self.cfg, self.forward
         chunk = self.decode_chunk_len
@@ -618,7 +634,8 @@ class Engine:
                          active, samp, key, min_tokens, prompt_lens,
                          inject_rows, inject_toks,
                          lane_tokens, lane_pos, lane_tables, lane_lens,
-                         lane_logit_rows, act_slots, act_steps, act_seen):
+                         lane_logit_rows, lane_fresh,
+                         act_slots, act_steps, act_seen):
             last_tok = jnp.where(use_host, host_last, last_tok)
             seq_lens = jnp.where(use_host, host_lens, seq_lens)
             for gi in range(n_inject):
@@ -627,7 +644,7 @@ class Engine:
 
             def step(carry, xs):
                 kp, vp, aux, last, lens, seen = carry
-                (step_key, ltoks, lpos, ltab, llen, lrow) = xs
+                (step_key, ltoks, lpos, ltab, llen, lrow, lfresh) = xs
                 sp = SamplingParams(
                     samp["temperature"], samp["top_k"], samp["top_p"],
                     samp["min_p"], samp["repetition_penalty"],
@@ -648,7 +665,8 @@ class Engine:
                     seq_lens=lens + active.astype(jnp.int32),
                     impl=impl,
                     lane_tokens=ltoks, lane_positions=lpos, lane_table=ltab,
-                    lane_seq_len=llen, lane_logit_row=lrow, **fwd_kw,
+                    lane_seq_len=llen, lane_logit_row=lrow,
+                    lane_fresh=lfresh, **fwd_kw,
                 )
                 if kv_q:
                     kp, vp, aux = cache[0], cache[1], {"ks": cache[2],
@@ -667,7 +685,7 @@ class Engine:
                 jax.lax.scan(
                     step, (k_pages, v_pages, kv_aux, last_tok, seq_lens, seen),
                     (keys[:chunk], lane_tokens, lane_pos, lane_tables,
-                     lane_lens, lane_logit_rows))
+                     lane_lens, lane_logit_rows, lane_fresh))
             toks, lane_logits = ys            # [chunk, B], [chunk, V]
 
             # ---- first-token sampling for prompts completed this chunk ----
@@ -892,38 +910,45 @@ class Engine:
                     cover = [b for b in buckets if b >= need]
                     buckets = keep + cover[:1]
                 variants = [(p, None) for p in buckets]
+            # engines with a lane warm BOTH program variants per bucket:
+            # the scheduler dispatches the plain program on idle-lane chunks
+            lane_variants = (False, True) if self.prefill_lane else (False,)
             for p_cur, s_cur in variants:
-                self.rng, key = jax.random.split(self.rng)
-                samp = {k: jnp.asarray(v) for k, v in self.samp_host.items()}
-                last = jnp.asarray(self.last_tok)
-                lens = jnp.asarray(self.seq_lens)
-                lane_args = ()
-                if self.prefill_lane:
-                    chunk, Tp, A = (self.decode_chunk_len, self.prefill_lane,
-                                    self.LANE_MAX_ACT)
-                    lane_args = (
-                        jnp.zeros((chunk, Tp), jnp.int32),
-                        jnp.full((chunk, Tp), -1, jnp.int32),
-                        jnp.zeros((chunk, p_cur), jnp.int32),
-                        jnp.zeros((chunk,), jnp.int32),
-                        jnp.zeros((chunk,), jnp.int32),
-                        jnp.full((A,), B, jnp.int32),
-                        jnp.zeros((A,), jnp.int32),
-                        jnp.zeros((A, self.cfg.vocab_size), bool),
+                for lane_on in lane_variants:
+                    self.rng, key = jax.random.split(self.rng)
+                    samp = {k: jnp.asarray(v)
+                            for k, v in self.samp_host.items()}
+                    last = jnp.asarray(self.last_tok)
+                    lens = jnp.asarray(self.seq_lens)
+                    lane_args = ()
+                    if lane_on:
+                        chunk, Tp, A = (self.decode_chunk_len,
+                                        self.prefill_lane, self.LANE_MAX_ACT)
+                        lane_args = (
+                            jnp.zeros((chunk, Tp), jnp.int32),
+                            jnp.full((chunk, Tp), -1, jnp.int32),
+                            jnp.zeros((chunk, p_cur), jnp.int32),
+                            jnp.zeros((chunk,), jnp.int32),
+                            jnp.zeros((chunk,), jnp.int32),
+                            jnp.zeros((chunk,), bool),
+                            jnp.full((A,), B, jnp.int32),
+                            jnp.zeros((A,), jnp.int32),
+                            jnp.zeros((A, self.cfg.vocab_size), bool),
+                        )
+                    out = self._decode_program(s_cur, lane=lane_on)(
+                        self.k_pages, self.v_pages, self.kv_aux, self.params,
+                        jnp.asarray(self.page_tables[:, :p_cur]), self.seen,
+                        last, lens, last, lens, jnp.ones((B,), bool),
+                        jnp.zeros((B,), bool), samp, key,
+                        jnp.asarray(self.min_tokens),
+                        jnp.asarray(self.prompt_lens),
+                        *self._inject_args(),
+                        *lane_args,
                     )
-                out = self._decode_program(s_cur)(
-                    self.k_pages, self.v_pages, self.kv_aux, self.params,
-                    jnp.asarray(self.page_tables[:, :p_cur]), self.seen,
-                    last, lens, last, lens, jnp.ones((B,), bool),
-                    jnp.zeros((B,), bool), samp, key,
-                    jnp.asarray(self.min_tokens), jnp.asarray(self.prompt_lens),
-                    *self._inject_args(),
-                    *lane_args,
-                )
-                # inactive rows write nothing (positions < 0 are dropped);
-                # rebind the donated buffers and discard the rest
-                (self.k_pages, self.v_pages, self.kv_aux,
-                 self.seen) = out[0], out[1], out[2], out[3]
+                    # inactive rows write nothing (positions < 0 dropped);
+                    # rebind the donated buffers and discard the rest
+                    (self.k_pages, self.v_pages, self.kv_aux,
+                     self.seen) = out[0], out[1], out[2], out[3]
             jax.block_until_ready(self.seen)
 
     def start(self):
@@ -1052,10 +1077,42 @@ class Engine:
         return min(b, self.max_seq_len)
 
     def _free_slot(self) -> _Slot | None:
+        parked = None
         for s in self.slots:
             if not s.active and s.req is None:
-                return s
-        return None
+                if s.idx not in self._parked:
+                    return s
+                # prefer unparked rows so parked KV survives for re-entry;
+                # fall back to the least-recently-parked row
+                if parked is None or (self._parked[s.idx]["t"]
+                                      < self._parked[parked.idx]["t"]):
+                    parked = s
+        return parked
+
+    def _match_parked(self, prompt: list[int]) -> tuple[_Slot, int] | None:
+        """Longest parked row whose stored tokens prefix-match ``prompt``.
+
+        Token-exact: the row's KV is valid for positions < its ``usable``
+        length, so the match is min(common prefix, usable, len(prompt)-1) —
+        at least one prompt token must prefill to produce logits."""
+        best, best_len = None, 0
+        limit = len(prompt) - 1
+        p = np.asarray(prompt[:limit], np.int32)
+        for idx, rec in self._parked.items():
+            s = self.slots[idx]
+            if s.active or s.req is not None:
+                continue
+            toks = rec["tokens"]
+            n = min(rec["usable"], limit, len(toks))
+            if n <= best_len:
+                continue
+            eq = toks[:n] != p[:n]
+            m = int(np.argmax(eq)) if eq.any() else n
+            if m > best_len:
+                best, best_len = s, m
+        if best is None or best_len <= 0:
+            return None
+        return best, best_len
 
     def _ensure_pages(self, needed: int) -> bool:
         if self.allocator.can_alloc(needed):
@@ -1311,6 +1368,16 @@ class Engine:
         cached_len = 0
         if self.cache_mode == "slot":
             own: list[int] = []     # slot mode: cache row == slot row
+            if self._slot_park:
+                best = self._match_parked(prompt)
+                if best is not None:
+                    bslot, blen = best
+                    if not bslot.active and bslot.req is None:
+                        slot = bslot            # re-enter the parked row
+                        cached_len = blen
+                        self.stats["slot_park_hits"] += 1
+                        self.stats["slot_park_tokens"] += blen
+                self._parked.pop(slot.idx, None)  # row is being reused
         else:
             if self.prefix_cache is not None and len(prompt) > self.page_size:
                 # never match the entire prompt — at least one token must be
@@ -1515,8 +1582,12 @@ class Engine:
             e["last_sched"] = self._chunk_seq
             n_tok += take
             valid = p["cached_len"] + e["off"]
+            # fresh: the WHOLE prompt fits this step from position 0 — the
+            # model then runs causal attention within the lane rows and
+            # never touches the KV pool (the truly-free overlap path)
+            fresh = off == 0 and take == len(suffix) and p["cached_len"] == 0
             per_step.append({"slot": p["slot"].idx, "toks": toks, "pos": pos,
-                             "len": valid, "row": take - 1})
+                             "len": valid, "row": take - 1, "fresh": fresh})
             max_needed = max(max_needed, valid + 1)
             if e["off"] >= len(suffix):
                 acts.append({"i": len(acts), "step": step,
@@ -1535,6 +1606,7 @@ class Engine:
         tabs = np.zeros((chunk, p_cur), np.int32)
         lens = np.zeros((chunk,), np.int32)
         rows = np.zeros((chunk,), np.int32)
+        fresh = np.zeros((chunk,), bool)
         for step, s in enumerate(plan["per_step"]):
             if s is None:
                 continue
@@ -1543,6 +1615,7 @@ class Engine:
             tabs[step] = self.page_tables[s["slot"], :p_cur]
             lens[step] = s["len"]
             rows[step] = s["row"]
+            fresh[step] = s["fresh"]
         act_slots = np.full((A,), self.max_slots, np.int32)
         act_steps = np.zeros((A,), np.int32)
         act_seen = np.zeros((A, self.cfg.vocab_size), bool)
@@ -1552,8 +1625,9 @@ class Engine:
             ids = np.asarray(a["entry"]["p"]["prompt"], np.int64)
             act_seen[a["i"]][ids[ids < self.cfg.vocab_size]] = True
         return (jnp.asarray(toks), jnp.asarray(pos), jnp.asarray(tabs),
-                jnp.asarray(lens), jnp.asarray(rows), jnp.asarray(act_slots),
-                jnp.asarray(act_steps), jnp.asarray(act_seen))
+                jnp.asarray(lens), jnp.asarray(rows), jnp.asarray(fresh),
+                jnp.asarray(act_slots), jnp.asarray(act_steps),
+                jnp.asarray(act_seen))
 
     def _abort_lane_entry(self, e: dict) -> None:
         p = e["p"]
@@ -1736,11 +1810,15 @@ class Engine:
         plens = self._dev("prompt_lens", lambda: jnp.asarray(self.prompt_lens))
         act_first = None
         inj = self._inject_args(tuple(self._inject_handles))
-        if self.prefill_lane:
+        # idle-lane chunks dispatch the plain program — the lane variant's
+        # extra rows cost ~9%/step even with nothing to prefill (r4 A/B)
+        lane_on = bool(lane_plan and lane_plan["steps"])
+        if lane_on:
             la = self._lane_arrays(lane_plan, chunk, p_cur)
             with self.spans.span("decode_dispatch"):
                 (self.k_pages, self.v_pages, self.kv_aux, self.seen, last,
-                 lens, toks, act_first) = self._decode_program(s_cur)(
+                 lens, toks, act_first) = self._decode_program(
+                     s_cur, lane=True)(
                         self.k_pages, self.v_pages, self.kv_aux, self.params,
                         tables, self.seen,
                         last, lens, host_last, host_lens,
@@ -1887,6 +1965,15 @@ class Engine:
             all_pages = (slot.shared_pages + slot.pages)[:n_full]
             if all_pages:
                 self.prefix_cache.insert(full_tokens, all_pages)
+        if self._slot_park and finish != "aborted":
+            # park the row's KV for multi-turn re-entry. usable is
+            # conservative by one token: the final kept token's KV is only
+            # written when it is FED (the step after sampling), which a
+            # chunk boundary can cut off.
+            toks = np.asarray(list(slot.prompt_tokens) + gen_ids, np.int32)
+            usable = slot.prompt_len + max(len(gen_ids) - 1, 0)
+            self._parked[slot.idx] = {"tokens": toks, "usable": usable,
+                                      "t": time.monotonic()}
         self.allocator.free(slot.shared_pages)
         self.allocator.free(slot.pages)
         self.page_tables[slot.idx, :] = (slot.idx if self.cache_mode == "slot" else 0)

@@ -163,6 +163,7 @@ def forward(
     lane_table: jax.Array | None = None,
     lane_seq_len: jax.Array | None = None,
     lane_logit_row: jax.Array | None = None,
+    lane_fresh: jax.Array | None = None,      # scalar: causal-within-lane
 ):
     """Same contract as models/qwen3.forward (serving + training modes),
     including the decode-step prefill lane."""
@@ -172,15 +173,17 @@ def forward(
     lane = lane_tokens is not None
     B_dec = tokens.shape[0]
     if lane:
-        assert serving and tokens.shape[1] == 1 and not slot_decode \
-            and not fresh_prefill, "lane rides the paged decode step only"
+        assert serving and tokens.shape[1] == 1 \
+            and not fresh_prefill, "lane rides the decode step only"
         Tp = lane_tokens.shape[0]
         tokens = jnp.concatenate([tokens, lane_tokens[:, None]], axis=0)
         positions = jnp.concatenate([positions, lane_positions[:, None]],
                                     axis=0)
-        page_table = jnp.concatenate(
-            [page_table, jnp.broadcast_to(lane_table[None],
-                                          (Tp,) + lane_table.shape)], axis=0)
+        if not slot_decode:
+            page_table = jnp.concatenate(
+                [page_table, jnp.broadcast_to(lane_table[None],
+                                              (Tp,) + lane_table.shape)],
+                axis=0)
     x = jnp.take(params["embed"], tokens, axis=0)
     cos, sin = rope_angles(jnp.maximum(positions, 0), cfg.head_dim, cfg.rope_theta)
     H, K, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
@@ -215,7 +218,11 @@ def forward(
         kpf = k_pages.reshape((L * N,) + k_pages.shape[2:])
         vpf = v_pages.reshape((L * N,) + v_pages.shape[2:])
         if slot_decode:
-            page_table = jnp.arange(tokens.shape[0], dtype=jnp.int32)[:, None]
+            page_table = jnp.arange(B_dec, dtype=jnp.int32)[:, None]
+            if lane:
+                page_table = jnp.concatenate(
+                    [page_table,
+                     jnp.broadcast_to(lane_table[None], (Tp, 1))], axis=0)
 
         lp_stack = params["layers"]
         use_fused = (fused_decode and tokens.shape[1] == 1
@@ -231,13 +238,15 @@ def forward(
                         q, k, v, impl=impl if impl == "ring" else "xla",
                         ring_mesh=ring_mesh, ring_axis=ring_axis)
                 elif slot_decode:
+                    q_dec = q[:B_dec] if lane else q
+                    pos_dec = positions[:B_dec] if lane else positions
                     if impl == "pallas" and q.shape[1] == 1:
                         from ..ops.slot_attention import slot_attention
 
                         limit = jnp.minimum(
-                            seq_lens, jnp.maximum(positions[:, 0], 0) + 1)
+                            seq_lens, jnp.maximum(pos_dec[:, 0], 0) + 1)
                         out = slot_attention(
-                            q[:, 0], kw, vw, limit, layer, n_rows=N,
+                            q_dec[:, 0], kw, vw, limit, layer, n_rows=N,
                             slot_ctx=(slot_ctx if slot_ctx is not None
                                       else kw.shape[1]))[:, None]
                     else:
@@ -247,17 +256,55 @@ def forward(
                             k_ctx = k_ctx[:, :slot_ctx]
                             v_ctx = v_ctx[:, :slot_ctx]
                         out = attn_ops.masked_context_attention(
-                            q, k_ctx, v_ctx, seq_lens, jnp.maximum(positions, 0))
+                            q_dec, k_ctx, v_ctx, seq_lens,
+                            jnp.maximum(pos_dec, 0))
+                    if lane:
+                        H_, D_ = q.shape[2], q.shape[3]
+                        q_l = q[B_dec:].reshape(1, Tp, H_, D_)
+
+                        def _lane_pool():
+                            row = lane_table[0] + layer * N
+                            k_row = jax.lax.dynamic_index_in_dim(
+                                kw, row, 0, keepdims=True)
+                            v_row = jax.lax.dynamic_index_in_dim(
+                                vw, row, 0, keepdims=True)
+                            if slot_ctx is not None:
+                                k_row = k_row[:, :slot_ctx]
+                                v_row = v_row[:, :slot_ctx]
+                            return attn_ops.masked_context_attention(
+                                q_l, k_row, v_row, lane_seq_len[None],
+                                jnp.maximum(lane_positions, 0)[None])
+
+                        def _lane_fresh():
+                            return attn_ops.causal_attention(
+                                q_l, k[B_dec:].reshape(1, Tp, K, D_),
+                                v[B_dec:].reshape(1, Tp, K, D_), impl="xla")
+
+                        out_l = (jax.lax.cond(lane_fresh, _lane_fresh,
+                                              _lane_pool)
+                                 if lane_fresh is not None else _lane_pool())
+                        out = jnp.concatenate(
+                            [out, out_l.reshape(Tp, 1, H_, D_)], axis=0)
                 elif lane:
                     out_d = attn_ops.paged_attention(
                         q[:B_dec], kw, vw, table_l[:B_dec], seq_lens,
                         jnp.maximum(positions[:B_dec], 0), impl=impl)
                     H_, D_ = q.shape[2], q.shape[3]
-                    lane_tab_l = lane_table[None] + layer * N
-                    out_l = attn_ops.paged_attention(
-                        q[B_dec:].reshape(1, -1, H_, D_), kw, vw,
-                        lane_tab_l, lane_seq_len[None],
-                        jnp.maximum(lane_positions, 0)[None], impl=impl)
+                    q_l = q[B_dec:].reshape(1, -1, H_, D_)
+
+                    def _lane_pool():
+                        lane_tab_l = lane_table[None] + layer * N
+                        return attn_ops.paged_attention(
+                            q_l, kw, vw, lane_tab_l, lane_seq_len[None],
+                            jnp.maximum(lane_positions, 0)[None], impl=impl)
+
+                    def _lane_fresh():
+                        return attn_ops.causal_attention(
+                            q_l, k[B_dec:].reshape(1, -1, K, D_),
+                            v[B_dec:].reshape(1, -1, K, D_), impl="xla")
+
+                    out_l = (jax.lax.cond(lane_fresh, _lane_fresh, _lane_pool)
+                             if lane_fresh is not None else _lane_pool())
                     out = jnp.concatenate(
                         [out_d, out_l.reshape(-1, 1, H_, D_)], axis=0)
                 else:

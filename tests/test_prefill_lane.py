@@ -235,3 +235,24 @@ def test_slot_lane_matches_paged_engine(shared_params):
         b.shutdown()
     for w, g in zip(want, got):
         assert w.token_ids == g.token_ids
+
+
+def test_fresh_lane_one_shot_prompts(shared_params):
+    """Wide lane (Tp >= prompt): each prompt prefills causally within ONE
+    decode step (lane_fresh path — no KV-pool read). Token-identical to the
+    lane-less engine in both cache layouts."""
+    for mk in (_mk_engine, _mk_slot_engine):
+        a = mk(shared_params, lane=0)
+        try:
+            want = _run_staggered(a)
+        finally:
+            a.shutdown()
+        b = mk(shared_params, lane=16)   # prompts are 5/9/14 tokens
+        try:
+            got = _run_staggered(b)
+            stats = dict(b.stats)
+        finally:
+            b.shutdown()
+        for w, g in zip(want, got):
+            assert w.token_ids == g.token_ids
+        assert stats["lane_tokens"] > 0
