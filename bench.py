@@ -145,14 +145,12 @@ def main():
     FUSED = {"1": True, "0": False}.get(os.environ.get("BENCH_FUSED", ""))
     PFG = os.environ.get("BENCH_PFGROUP")  # prefill rows per dispatch
     MODE = os.environ.get("BENCH_MODE", "")  # "" | multiturn | sustained
-    # in-flight chunked prefill width (tokens per decode step); defaults on
-    # for the sustained mode, where prompts arrive while decode runs. r4:
-    # the lane rides the slot cache too (lane rows write into the slot row's
-    # contiguous buffer). Width sized to the steady-state churn: at B slots
-    # and mean decode DECODE, refill needs ~B*PROMPT/DECODE prompt tokens
-    # per decode step's worth of work.
+    # in-flight prefill lane (fresh-only one-shot contract, r4): each decode
+    # step can carry ONE whole prompt of <= LANE tokens, causal within its
+    # own rows — truly free overlap with decode's HBM-bound weight reads.
+    # Width must cover the prompt length or nothing is lane-eligible.
     LANE = int(os.environ.get("BENCH_LANE",
-                              64 if MODE == "sustained" else 0))
+                              PROMPT if MODE == "sustained" else 0))
     # lane completions per chunk; 0 = engine default. Steady-state churn is
     # max_slots*chunk/mean_decode completions per chunk.
     LANE_ACT = int(os.environ.get("BENCH_LANE_ACT", 0)) or None
@@ -373,9 +371,11 @@ def main():
                 context_buckets=BUCKETS, layer_fusion=FUSED,
                 max_prefill_group=int(PFG) if PFG else None,
                 # the lane rides the decode program in both cache layouts
-                # (r4: slot-mode lane writes into the slot row's buffer)
-                prefill_lane=int(os.environ.get("BENCH_DEPLOY_LANE", 64)),
-                lane_max_act=LANE_ACT or 16)
+                # (r4: slot-mode lane writes into the slot row's buffer);
+                # width = PROMPT so whole prompts are one-shot eligible,
+                # activations sized to the chunk (one act per lane step)
+                prefill_lane=int(os.environ.get("BENCH_DEPLOY_LANE", PROMPT)),
+                lane_max_act=LANE_ACT or CHUNK)
             dep.warmup(prompt_lens=(PROMPT,), max_ctx=MAXCTX)
             dep.generate(req(-2))
             dep_init_s = time.monotonic() - t_d

@@ -633,9 +633,8 @@ class Engine:
                          last_tok, seq_lens, host_last, host_lens, use_host,
                          active, samp, key, min_tokens, prompt_lens,
                          inject_rows, inject_toks,
-                         lane_tokens, lane_pos, lane_tables, lane_lens,
-                         lane_logit_rows, lane_fresh,
-                         act_slots, act_steps, act_seen):
+                         lane_tokens, lane_pos, lane_tables,
+                         lane_logit_rows, act_slots, act_steps):
             last_tok = jnp.where(use_host, host_last, last_tok)
             seq_lens = jnp.where(use_host, host_lens, seq_lens)
             for gi in range(n_inject):
@@ -644,7 +643,7 @@ class Engine:
 
             def step(carry, xs):
                 kp, vp, aux, last, lens, seen = carry
-                (step_key, ltoks, lpos, ltab, llen, lrow, lfresh) = xs
+                (step_key, ltoks, lpos, ltab, lrow) = xs
                 sp = SamplingParams(
                     samp["temperature"], samp["top_k"], samp["top_p"],
                     samp["min_p"], samp["repetition_penalty"],
@@ -665,8 +664,7 @@ class Engine:
                     seq_lens=lens + active.astype(jnp.int32),
                     impl=impl,
                     lane_tokens=ltoks, lane_positions=lpos, lane_table=ltab,
-                    lane_seq_len=llen, lane_logit_row=lrow,
-                    lane_fresh=lfresh, **fwd_kw,
+                    lane_logit_row=lrow, **fwd_kw,
                 )
                 if kv_q:
                     kp, vp, aux = cache[0], cache[1], {"ks": cache[2],
@@ -685,14 +683,26 @@ class Engine:
                 jax.lax.scan(
                     step, (k_pages, v_pages, kv_aux, last_tok, seq_lens, seen),
                     (keys[:chunk], lane_tokens, lane_pos, lane_tables,
-                     lane_lens, lane_logit_rows, lane_fresh))
+                     lane_logit_rows))
             toks, lane_logits = ys            # [chunk, B], [chunk, V]
 
             # ---- first-token sampling for prompts completed this chunk ----
             # (act rows padded with slot=max_slots step=0 are folded with
-            # mode="drop" and their sampled tokens ignored host-side)
+            # mode="drop" and their sampled tokens ignored host-side).
+            # act_seen is built ON DEVICE from the activating steps' lane
+            # tokens — the whole prompt is in lane_tokens[step] under the
+            # fresh-only lane contract, saving an [A, V] host upload per
+            # dispatch.
             slot_c = jnp.clip(act_slots, 0, seen.shape[0] - 1)
-            act_logits = lane_logits[jnp.clip(act_steps, 0, chunk - 1)]
+            steps_c = jnp.clip(act_steps, 0, chunk - 1)
+            act_logits = lane_logits[steps_c]
+            act_toks = lane_tokens[steps_c]                      # [A, Tp]
+            act_valid = lane_pos[steps_c] >= 0
+            V = seen.shape[1]
+            rows_a = jax.lax.broadcasted_iota(jnp.int32, act_toks.shape, 0)
+            act_seen = jnp.zeros((A, V), bool).at[
+                rows_a, jnp.where(act_valid, act_toks, V)].set(
+                    True, mode="drop")
             asp = SamplingParams(
                 samp["temperature"][slot_c], samp["top_k"][slot_c],
                 samp["top_p"][slot_c], samp["min_p"][slot_c],
@@ -929,11 +939,8 @@ class Engine:
                             jnp.full((chunk, Tp), -1, jnp.int32),
                             jnp.zeros((chunk, p_cur), jnp.int32),
                             jnp.zeros((chunk,), jnp.int32),
-                            jnp.zeros((chunk,), jnp.int32),
-                            jnp.zeros((chunk,), bool),
                             jnp.full((A,), B, jnp.int32),
                             jnp.zeros((A,), jnp.int32),
-                            jnp.zeros((A, self.cfg.vocab_size), bool),
                         )
                     out = self._decode_program(s_cur, lane=lane_on)(
                         self.k_pages, self.v_pages, self.kv_aux, self.params,
@@ -1224,20 +1231,22 @@ class Engine:
 
         if self.prefill_lane and (any(s.active for s in self.slots)
                                   or self._lane or self._pending is not None):
-            # decode is running (or about to): stream prompts through the
-            # lane instead of stalling decode — but only up to what one
-            # chunk can absorb. Overflow (high churn: completions outpace
-            # the lane) falls through to batched prefill, which processes a
-            # backlog at MXU rate with one short stall. Cold bursts
+            # decode is running (or about to): ride WHOLE prompts through
+            # the lane (fresh-only contract: no cached prefix, fits one
+            # step) up to one chunk's absorption. Everything else — long
+            # prompts, prefix re-entries, overflow under churn — takes
+            # batched-injected prefill, which runs at MXU rate. Cold bursts
             # (nothing active) always take the batched path.
-            backlog = sum(len(e["p"]["suffix"]) - e["off"]
-                          for e in self._lane if not e.get("aborted"))
-            cap = self.decode_chunk_len * self.prefill_lane
+            backlog = sum(1 for e in self._lane
+                          if not e.get("aborted")
+                          and e["off"] < len(e["p"]["suffix"]))
+            cap = self.decode_chunk_len
             overflow = []
             for p in prepared:
-                if backlog < cap:
+                if (backlog < cap and p["cached_len"] == 0
+                        and len(p["suffix"]) <= self.prefill_lane):
                     self._lane.append({"p": p, "off": 0})
-                    backlog += len(p["suffix"])
+                    backlog += 1
                 else:
                     overflow.append(p)
             if not overflow:
@@ -1549,11 +1558,12 @@ class Engine:
 
     def _plan_lane(self, chunk: int) -> dict:
         """Schedule pending lane requests onto this chunk's steps: each step
-        streams up to ``prefill_lane`` suffix tokens of ONE request; a
-        request whose suffix completes becomes an activation record (first
-        token sampled in-program, slot activated at process time). Advances
-        host cursors — planning is dispatch-ordered, so pipelined chunks
-        stream disjoint token ranges."""
+        carries ONE WHOLE prompt (fresh-only lane contract — admission only
+        lanes requests with ``len(suffix) <= prefill_lane`` and no cached
+        prefix), which also becomes an activation record (first token
+        sampled in-program, slot activated at process time). Advances host
+        cursors — planning is dispatch-ordered, so pipelined chunks carry
+        disjoint requests."""
         Tp = self.prefill_lane
         self._chunk_seq += 1
         per_step: list[dict | None] = []
@@ -1571,28 +1581,21 @@ class Engine:
                 continue
             e = self._lane[ei]
             p = e["p"]
-            suffix, off = p["suffix"], e["off"]
-            take = min(Tp, len(suffix) - off)
+            suffix = p["suffix"]
+            take = len(suffix)
             toks = np.zeros((Tp,), np.int32)
             pos = np.full((Tp,), -1, np.int32)
-            toks[:take] = suffix[off:off + take]
-            pos[:take] = np.arange(p["cached_len"] + off,
-                                   p["cached_len"] + off + take)
-            e["off"] = off + take
+            toks[:take] = suffix
+            pos[:take] = np.arange(take)
+            e["off"] = take
             e["last_sched"] = self._chunk_seq
             n_tok += take
-            valid = p["cached_len"] + e["off"]
-            # fresh: the WHOLE prompt fits this step from position 0 — the
-            # model then runs causal attention within the lane rows and
-            # never touches the KV pool (the truly-free overlap path)
-            fresh = off == 0 and take == len(suffix) and p["cached_len"] == 0
             per_step.append({"slot": p["slot"].idx, "toks": toks, "pos": pos,
-                             "len": valid, "row": take - 1, "fresh": fresh})
-            max_needed = max(max_needed, valid + 1)
-            if e["off"] >= len(suffix):
-                acts.append({"i": len(acts), "step": step,
-                             "slot": p["slot"].idx, "entry": e,
-                             "epoch": p["slot"].epoch})
+                             "row": take - 1})
+            max_needed = max(max_needed, take + 1)
+            acts.append({"i": len(acts), "step": step,
+                         "slot": p["slot"].idx, "entry": e,
+                         "epoch": p["slot"].epoch})
         return {"steps": [s for s in per_step if s is not None],
                 "per_step": per_step, "acts": acts, "n_tokens": n_tok,
                 "max_tokens_needed": max_needed}
@@ -1604,30 +1607,22 @@ class Engine:
         toks = np.zeros((chunk, Tp), np.int32)
         pos = np.full((chunk, Tp), -1, np.int32)
         tabs = np.zeros((chunk, p_cur), np.int32)
-        lens = np.zeros((chunk,), np.int32)
         rows = np.zeros((chunk,), np.int32)
-        fresh = np.zeros((chunk,), bool)
         for step, s in enumerate(plan["per_step"]):
             if s is None:
                 continue
             toks[step] = s["toks"]
             pos[step] = s["pos"]
             tabs[step] = self.page_tables[s["slot"], :p_cur]
-            lens[step] = s["len"]
             rows[step] = s["row"]
-            fresh[step] = s["fresh"]
         act_slots = np.full((A,), self.max_slots, np.int32)
         act_steps = np.zeros((A,), np.int32)
-        act_seen = np.zeros((A, self.cfg.vocab_size), bool)
         for a in plan["acts"]:
             act_slots[a["i"]] = a["slot"]
             act_steps[a["i"]] = a["step"]
-            ids = np.asarray(a["entry"]["p"]["prompt"], np.int64)
-            act_seen[a["i"]][ids[ids < self.cfg.vocab_size]] = True
         return (jnp.asarray(toks), jnp.asarray(pos), jnp.asarray(tabs),
-                jnp.asarray(lens), jnp.asarray(rows), jnp.asarray(fresh),
-                jnp.asarray(act_slots), jnp.asarray(act_steps),
-                jnp.asarray(act_seen))
+                jnp.asarray(rows), jnp.asarray(act_slots),
+                jnp.asarray(act_steps))
 
     def _abort_lane_entry(self, e: dict) -> None:
         p = e["p"]

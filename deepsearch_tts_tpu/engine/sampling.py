@@ -59,6 +59,7 @@ def sample(
     seen: jax.Array,             # [B, V] bool token-presence
     key: jax.Array,
     window: int = 128,
+    fuse_prep: bool | None = None,
 ) -> jax.Array:
     """Draw next tokens [B] int32. temperature<=0 rows decode greedily.
 
@@ -75,15 +76,38 @@ def sample(
     """
     B, V = logits.shape
     window = min(window, V)
-    logits = logits.astype(jnp.float32)
-    logits = apply_repetition_penalty(logits, seen, params.repetition_penalty)
-    if params.min_tokens is not None and params.eos_id >= 0:
-        suppress = params.tokens_generated < params.min_tokens   # [B]
-        logits = logits.at[:, params.eos_id].add(
-            jnp.where(suppress, NEG_INF, 0.0))
+    if fuse_prep is None:
+        # the fused pass wants TPU Mosaic + a lane-tileable vocab; tiny test
+        # vocabs and CPU stay on the reference XLA chain
+        from ..utils import is_tpu_backend
 
-    temp = jnp.maximum(params.temperature, 1e-6)[:, None]
-    scaled = logits / temp
+        fuse_prep = is_tpu_backend() and V % 128 == 0 and V >= 2048
+    temp_c = jnp.maximum(params.temperature, 1e-6)
+    lse = None
+    if fuse_prep:
+        # ONE HBM pass for penalty + EOS suppression + temperature + online
+        # logsumexp (ops/sampling_prep.py) — replaces ~4 [B, V] passes;
+        # measured sampler share 0.70 -> target <0.3ms/step (VERDICT r3 #8)
+        from ..ops.sampling_prep import sampling_prep
+
+        if params.min_tokens is not None and params.eos_id >= 0:
+            suppress = params.tokens_generated < params.min_tokens
+            eos_id = params.eos_id
+        else:
+            suppress = jnp.zeros((B,), bool)
+            eos_id = -1
+        scaled, lse = sampling_prep(logits, seen,
+                                    params.repetition_penalty, temp_c,
+                                    suppress, eos_id)
+    else:
+        logits = logits.astype(jnp.float32)
+        logits = apply_repetition_penalty(logits, seen,
+                                          params.repetition_penalty)
+        if params.min_tokens is not None and params.eos_id >= 0:
+            suppress = params.tokens_generated < params.min_tokens   # [B]
+            logits = logits.at[:, params.eos_id].add(
+                jnp.where(suppress, NEG_INF, 0.0))
+        scaled = logits / temp_c[:, None]
 
     vals, idx = jax.lax.approx_max_k(scaled, window, recall_target=1.0)
     # the window is exactly sorted, so column 0 IS the argmax — temperature
@@ -101,10 +125,12 @@ def sample(
     # top-p: keep while preceding TRUE cumulative probability < p (mass from
     # the full-vocab softmax, so the nucleus is not cut early by window
     # renormalization); column 0 always survives (cum_prev[0] == 0).
-    # logsumexp reuses the exact max from the window (one fewer [B, V] pass
-    # than jax.scipy logsumexp, which recomputes it).
-    m = vals[:, :1]
-    lse = m + jnp.log(jnp.sum(jnp.exp(scaled - m), axis=-1, keepdims=True))
+    # The fused-prep kernel already produced the full-vocab lse; the XLA
+    # fallback computes it here reusing the exact max from the window.
+    if lse is None:
+        m = vals[:, :1]
+        lse = m + jnp.log(jnp.sum(jnp.exp(scaled - m), axis=-1,
+                                  keepdims=True))
     probs = jnp.exp(vals - lse)
     cum_prev = jnp.cumsum(probs, axis=-1) - probs
     keep &= (cum_prev < params.top_p[:, None]) | (params.top_p[:, None] >= 1.0)

@@ -183,16 +183,18 @@ def forward(
     attn_ablate: str | None = None,  # perf decomposition (micro_decode):
     #   "skip" = no scatter, attention returns zeros;
     #   "scatter_only" = write KV, attention returns zeros
-    lane_tokens: jax.Array | None = None,     # [Tp] in-flight prefill lane
+    lane_tokens: jax.Array | None = None,     # [Tp] in-flight prefill lane:
+    #   ONE complete prompt (from position 0, ≤ Tp tokens) per decode step.
+    #   Fresh-only by contract: lane attention is causal within the lane
+    #   rows themselves and never reads the KV pool. (A pool-reading lane
+    #   branch under lax.cond captured the multi-GB pools as conditional
+    #   operands and measured 0.5s/step from per-layer pool copies, r4;
+    #   chunked/cached prompts take the batched-injected prefill path
+    #   instead, which runs at MXU rate.)
     lane_positions: jax.Array | None = None,  # [Tp]; <0 = padding
-    lane_table: jax.Array | None = None,      # [P] the lane sequence's pages
-    lane_seq_len: jax.Array | None = None,    # scalar: valid tokens incl lane
+    lane_table: jax.Array | None = None,      # [P] pages / [1] slot row the
+    #   lane tokens' KV is written into
     lane_logit_row: jax.Array | None = None,  # scalar: lane row to project
-    lane_fresh: jax.Array | None = None,      # scalar bool: this step's lane
-    #   tokens are a COMPLETE from-position-0 prompt → attention is causal
-    #   within the lane rows themselves (no KV-pool read at all; the pool
-    #   re-read per step is what made the chunked lane ~4x dearer than
-    #   batched prefill, measured r4). Chunked/cached entries use the pool.
 ):
     """Run the decoder.
 
@@ -328,45 +330,22 @@ def forward(
                             q_dec, k_ctx, v_ctx, seq_lens,
                             jnp.maximum(pos_dec, 0))
                     if lane:
-                        # lane rows are ONE sequence living in slot row
-                        # lane_table[0]
+                        # lane rows are ONE whole prompt: causal within the
+                        # lane rows (fresh-only contract, see signature) —
+                        # prefill genuinely rides decode's HBM-bound weight
+                        # reads, with zero pool traffic
                         H_, D_ = q.shape[2], q.shape[3]
                         K_ = cfg.n_kv_heads
-                        q_l = q[B_dec:].reshape(1, Tp, H_, D_)
-
-                        def _lane_pool():
-                            # chunked/cached entry: read the row's
-                            # contiguous KV, causal via per-row q positions
-                            row = lane_table[0] + layer * N
-                            k_row = jax.lax.dynamic_index_in_dim(
-                                kw, row, 0, keepdims=True)
-                            v_row = jax.lax.dynamic_index_in_dim(
-                                vw, row, 0, keepdims=True)
-                            if slot_ctx is not None:
-                                k_row = k_row[:, :slot_ctx]
-                                v_row = v_row[:, :slot_ctx]
-                            return attn_ops.masked_context_attention(
-                                q_l, k_row, v_row, lane_seq_len[None],
-                                jnp.maximum(lane_positions, 0)[None])
-
-                        def _lane_fresh():
-                            # whole prompt in this step: causal within the
-                            # lane rows, NO pool read — this is what lets
-                            # prompt prefill ride decode's weight reads for
-                            # ~free (the per-step pool re-read made chunked
-                            # lanes ~4x dearer than batched prefill, r4)
-                            return attn_ops.causal_attention(
-                                q_l, k[B_dec:].reshape(1, Tp, K_, D_),
-                                v[B_dec:].reshape(1, Tp, K_, D_), impl="xla")
-
-                        out_l = (jax.lax.cond(lane_fresh, _lane_fresh,
-                                              _lane_pool)
-                                 if lane_fresh is not None else _lane_pool())
+                        out_l = attn_ops.causal_attention(
+                            q[B_dec:].reshape(1, Tp, H_, D_),
+                            k[B_dec:].reshape(1, Tp, K_, D_),
+                            v[B_dec:].reshape(1, Tp, K_, D_), impl="xla")
                         out = jnp.concatenate(
                             [out, out_l.reshape(Tp, 1, H_, D_)], axis=0)
                 elif lane:
                     # decode rows gather their (bucketed) tables; the lane's
-                    # Tp rows are ONE sequence
+                    # Tp rows are ONE whole prompt, causal within itself
+                    # (fresh-only contract — no pool read)
                     out_d = attn_ops.paged_attention(
                         q[:B_dec], kw, vw, table_l[:B_dec], seq_lens,
                         jnp.maximum(positions[:B_dec], 0),
@@ -374,29 +353,10 @@ def forward(
                     )
                     H_, D_ = q.shape[2], q.shape[3]
                     K_ = cfg.n_kv_heads
-                    q_l = q[B_dec:].reshape(1, -1, H_, D_)
-
-                    def _lane_pool():
-                        # chunked/cached entry: a single [1, Tp] attention
-                        # reads the lane table once, causal via per-row q
-                        # positions
-                        lane_tab_l = lane_table[None] + layer * N
-                        return attn_ops.paged_attention(
-                            q_l, kw, vw, lane_tab_l, lane_seq_len[None],
-                            jnp.maximum(lane_positions, 0)[None],
-                            impl=impl, k_scales=ksw, v_scales=vsw,
-                        )
-
-                    def _lane_fresh():
-                        # whole prompt in this step: causal within the lane
-                        # rows, no pool read (see the slot branch)
-                        return attn_ops.causal_attention(
-                            q_l, k[B_dec:].reshape(1, -1, K_, D_),
-                            v[B_dec:].reshape(1, -1, K_, D_), impl="xla")
-
-                    out_l = (jax.lax.cond(lane_fresh, _lane_fresh,
-                                          _lane_pool)
-                             if lane_fresh is not None else _lane_pool())
+                    out_l = attn_ops.causal_attention(
+                        q[B_dec:].reshape(1, -1, H_, D_),
+                        k[B_dec:].reshape(1, -1, K_, D_),
+                        v[B_dec:].reshape(1, -1, K_, D_), impl="xla")
                     out = jnp.concatenate(
                         [out_d, out_l.reshape(-1, 1, H_, D_)], axis=0)
                 else:

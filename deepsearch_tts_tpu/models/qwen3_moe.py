@@ -158,12 +158,10 @@ def forward(
     ring_mesh=None,
     ring_axis: str = "tp",
     fused_decode: bool = False,  # T=1 Pallas attention-side kernels
-    lane_tokens: jax.Array | None = None,     # in-flight prefill lane
-    lane_positions: jax.Array | None = None,  # (see models/qwen3.forward)
-    lane_table: jax.Array | None = None,
-    lane_seq_len: jax.Array | None = None,
-    lane_logit_row: jax.Array | None = None,
-    lane_fresh: jax.Array | None = None,      # scalar: causal-within-lane
+    lane_tokens: jax.Array | None = None,     # in-flight prefill lane —
+    lane_positions: jax.Array | None = None,  # fresh-only whole-prompt
+    lane_table: jax.Array | None = None,      # contract, see
+    lane_logit_row: jax.Array | None = None,  # models/qwen3.forward
 ):
     """Same contract as models/qwen3.forward (serving + training modes),
     including the decode-step prefill lane."""
@@ -259,30 +257,13 @@ def forward(
                             q_dec, k_ctx, v_ctx, seq_lens,
                             jnp.maximum(pos_dec, 0))
                     if lane:
+                        # fresh-only lane: causal within the whole-prompt
+                        # lane rows, no pool read (models/qwen3.forward)
                         H_, D_ = q.shape[2], q.shape[3]
-                        q_l = q[B_dec:].reshape(1, Tp, H_, D_)
-
-                        def _lane_pool():
-                            row = lane_table[0] + layer * N
-                            k_row = jax.lax.dynamic_index_in_dim(
-                                kw, row, 0, keepdims=True)
-                            v_row = jax.lax.dynamic_index_in_dim(
-                                vw, row, 0, keepdims=True)
-                            if slot_ctx is not None:
-                                k_row = k_row[:, :slot_ctx]
-                                v_row = v_row[:, :slot_ctx]
-                            return attn_ops.masked_context_attention(
-                                q_l, k_row, v_row, lane_seq_len[None],
-                                jnp.maximum(lane_positions, 0)[None])
-
-                        def _lane_fresh():
-                            return attn_ops.causal_attention(
-                                q_l, k[B_dec:].reshape(1, Tp, K, D_),
-                                v[B_dec:].reshape(1, Tp, K, D_), impl="xla")
-
-                        out_l = (jax.lax.cond(lane_fresh, _lane_fresh,
-                                              _lane_pool)
-                                 if lane_fresh is not None else _lane_pool())
+                        out_l = attn_ops.causal_attention(
+                            q[B_dec:].reshape(1, Tp, H_, D_),
+                            k[B_dec:].reshape(1, Tp, K, D_),
+                            v[B_dec:].reshape(1, Tp, K, D_), impl="xla")
                         out = jnp.concatenate(
                             [out, out_l.reshape(Tp, 1, H_, D_)], axis=0)
                 elif lane:
@@ -290,21 +271,10 @@ def forward(
                         q[:B_dec], kw, vw, table_l[:B_dec], seq_lens,
                         jnp.maximum(positions[:B_dec], 0), impl=impl)
                     H_, D_ = q.shape[2], q.shape[3]
-                    q_l = q[B_dec:].reshape(1, -1, H_, D_)
-
-                    def _lane_pool():
-                        lane_tab_l = lane_table[None] + layer * N
-                        return attn_ops.paged_attention(
-                            q_l, kw, vw, lane_tab_l, lane_seq_len[None],
-                            jnp.maximum(lane_positions, 0)[None], impl=impl)
-
-                    def _lane_fresh():
-                        return attn_ops.causal_attention(
-                            q_l, k[B_dec:].reshape(1, -1, K, D_),
-                            v[B_dec:].reshape(1, -1, K, D_), impl="xla")
-
-                    out_l = (jax.lax.cond(lane_fresh, _lane_fresh, _lane_pool)
-                             if lane_fresh is not None else _lane_pool())
+                    out_l = attn_ops.causal_attention(
+                        q[B_dec:].reshape(1, -1, H_, D_),
+                        k[B_dec:].reshape(1, -1, K, D_),
+                        v[B_dec:].reshape(1, -1, K, D_), impl="xla")
                     out = jnp.concatenate(
                         [out_d, out_l.reshape(-1, 1, H_, D_)], axis=0)
                 else:

@@ -70,3 +70,54 @@ def test_sampling_respects_distribution():
     seen = jnp.zeros((1, V), bool)
     draws = {int(sample(logits, p, seen, jax.random.PRNGKey(s))[0]) for s in range(30)}
     assert draws == {0, 1}
+
+
+def test_fused_sampling_prep_matches_xla_path():
+    """ops/sampling_prep.py (interpret mode) must reproduce the XLA chain:
+    penalty -> EOS suppression -> temperature -> scaled + full-vocab lse."""
+    import numpy as np
+
+    from deepsearch_tts_tpu.ops.sampling_prep import sampling_prep
+
+    rng = np.random.default_rng(0)
+    B, V = 4, 4096
+    logits = jnp.asarray(rng.standard_normal((B, V)) * 3, jnp.float32)
+    seen = jnp.asarray(rng.random((B, V)) < 0.1)
+    pen = jnp.asarray([1.0, 1.05, 1.2, 1.1], jnp.float32)
+    temp = jnp.asarray([1.0, 0.7, 0.3, 1e-6], jnp.float32)
+    suppress = jnp.asarray([True, False, True, False])
+    eos = 17
+
+    scaled, lse = sampling_prep(logits, seen, pen, temp, suppress, eos,
+                                interpret=True)
+
+    ref = jnp.where(seen, jnp.where(logits > 0, logits / pen[:, None],
+                                    logits * pen[:, None]), logits)
+    ref = ref.at[:, eos].add(jnp.where(suppress, -1e30, 0.0))
+    ref = ref / temp[:, None]
+    assert jnp.allclose(scaled, ref, rtol=1e-5, atol=1e-5)
+    m = ref.max(axis=-1, keepdims=True)
+    ref_lse = m + jnp.log(jnp.sum(jnp.exp(ref - m), axis=-1, keepdims=True))
+    assert jnp.allclose(lse, ref_lse, rtol=1e-5, atol=1e-4)
+
+
+def test_sample_fused_path_matches_default():
+    """End-to-end sample() with fuse_prep forced on (interpret kernel) must
+    pick the same tokens as the XLA chain."""
+    import numpy as np
+
+    rng = np.random.default_rng(1)
+    B, V = 4, 4096
+    logits = jnp.asarray(rng.standard_normal((B, V)) * 4, jnp.float32)
+    seen = jnp.asarray(rng.random((B, V)) < 0.05)
+    params = SamplingParams.make(B, temperature=0.7, top_k=20, top_p=0.8,
+                                 min_p=0.05, repetition_penalty=1.05)
+    key = jax.random.PRNGKey(0)
+    a = sample(logits, params, seen, key, fuse_prep=False)
+    b = sample(logits, params, seen, key, fuse_prep=True)
+    assert jnp.array_equal(a, b)
+
+    greedy = params._replace(temperature=jnp.zeros((B,), jnp.float32))
+    ga = sample(logits, greedy, seen, key, fuse_prep=False)
+    gb = sample(logits, greedy, seen, key, fuse_prep=True)
+    assert jnp.array_equal(ga, gb)
