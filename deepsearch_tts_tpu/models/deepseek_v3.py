@@ -76,8 +76,18 @@ class DeepSeekV3Config:
         return 1
 
     @property
-    def head_dim(self) -> int:    # cache row width: latent + rope
+    def raw_row_dim(self) -> int:  # latent + rope, the arithmetic width
         return self.kv_lora_rank + self.qk_rope_head_dim
+
+    @property
+    def head_dim(self) -> int:
+        """Cache ROW width: latent + rope, padded up to the 128-lane TPU
+        tile (576 → 640 on real DeepSeek-V3, +11% cache bytes; 288 → 384 on
+        the bench config). Unpadded rows made every slot-mode slice
+        lane-misaligned and collapsed both slot paths (r3: slot-XLA 909 /
+        kernel 377 vs paged 5698 tok/s); rows and pool-facing queries are
+        zero-padded so scores and outputs are bit-equivalent."""
+        return -(-self.raw_row_dim // 128) * 128
 
     @property
     def qk_head_dim(self) -> int:
@@ -345,6 +355,13 @@ def forward(
                 x = carry
             h = rms_norm(x, lp["ln1"], cfg.rms_eps)
             q_eff, rows = _mla_qk(cfg, lp, h, cos, sin)
+            if serving and cfg.head_dim != cfg.raw_row_dim:
+                # zero-pad rows + queries to the 128-lane cache row width
+                # (cfg.head_dim docstring): scores gain exact zeros, the
+                # value part ([..., :KL]) is untouched — bit-equivalent
+                padw = cfg.head_dim - cfg.raw_row_dim
+                q_eff = jnp.pad(q_eff, ((0, 0),) * 3 + ((0, padw),))
+                rows = jnp.pad(rows, ((0, 0),) * 3 + ((0, padw),))
             if serving:
                 table_l = page_table + layer * N
                 kpf = write_rows_flat(kpf, rows, positions, table_l)
@@ -354,14 +371,10 @@ def forward(
                         impl=impl if impl == "ring" else "xla",
                         ring_mesh=ring_mesh, ring_axis=ring_axis)
                 elif slot_decode:
-                    # the latent row dim (kv_lora + rope; 576 on real
-                    # DeepSeek-V3, 288 on the bench config) is not a lane
-                    # multiple — Mosaic pads every block and the kernel
-                    # measures 377 tok/s vs XLA's ~4k (r3). Kernel only
-                    # when the row dim tiles cleanly; XLA slice otherwise.
-                    lane_ok = (cfg.kv_lora_rank
-                               + cfg.qk_rope_head_dim) % 128 == 0
-                    if impl == "pallas" and q_eff.shape[1] == 1 and lane_ok:
+                    # cache rows are padded to the 128-lane tile
+                    # (cfg.head_dim), so the slot paths tile cleanly — the
+                    # r3 gate for misaligned latent rows is gone
+                    if impl == "pallas" and q_eff.shape[1] == 1:
                         # shared-pool slot kernel: MLA's latent rows are
                         # both k and v, so one context DMA feeds both
                         # contractions (ops/slot_attention.py)
