@@ -207,16 +207,20 @@ class Engine:
             )
 
             c = self.cfg
+            # the fused kernels see decode rows PLUS the prefill lane's
+            # extra rows in one activation block — gate on the combined
+            # width or a lane engine OOMs VMEM at warmup (r4: B=96+128)
+            rows_eff = max_slots + int(prefill_lane or 0)
             if getattr(c, "latent_cache", False):  # MLA: MLP-side kernels
                 fshared = c.moe_intermediate * c.n_shared_experts
                 fit = (c.dense_intermediate % 128 == 0
                        and fshared % 128 == 0
                        and fused_mlp_vmem_ok(c.hidden, c.dense_intermediate,
-                                             max_slots)
-                       and fused_mlp_vmem_ok(c.hidden, fshared, max_slots))
+                                             rows_eff)
+                       and fused_mlp_vmem_ok(c.hidden, fshared, rows_eff))
             elif hasattr(c, "n_experts"):          # MoE: attention-side
                 fit = (c.head_dim % 128 == 0
-                       and fused_moe_vmem_ok(c, max_slots)
+                       and fused_moe_vmem_ok(c, rows_eff)
                        and getattr(c, "moe_impl", "") == "ragged")
             else:                                   # dense: full layer
                 from ..ops.fused_layer import fused_i8_vmem_ok
@@ -225,7 +229,7 @@ class Engine:
                       else fused_vmem_ok)
                 fit = (c.head_dim % 128 == 0
                        and c.intermediate % 128 == 0
-                       and vm(c, max_slots))
+                       and vm(c, rows_eff))
             is_dense = not (getattr(c, "latent_cache", False)
                             or hasattr(c, "n_experts"))
             layer_fusion = (

@@ -305,10 +305,16 @@ def fused_qkv_stacked(x: jax.Array, ln_all: jax.Array, wqkv_all: jax.Array,
     bc = block_c or D
     if block_c is None:
         # largest section-aligned block whose double-buffered weight slab
-        # leaves VMEM headroom — fewer grid steps = less fixed overhead
+        # PLUS the batch-dependent residents (x block, xn scratch, rope
+        # tables, full output stack alloc, double-buffered out block) stay
+        # under the 16MB scoped-VMEM limit with margin. The batch term
+        # matters: decode rows + a 128-wide prefill lane reach B=224, which
+        # overflowed the old weights-only 9MB budget (r4 OOM at bc=1024).
+        resident = B * (2 * E * 2 + D * 4) + B * C * 2
         for cand in range(D, min(2049, KD + 1), D):
             if (HD % cand == 0 and KD % cand == 0
-                    and 2 * E * cand * 2 <= 9 * 2**20):
+                    and 2 * E * cand * 2 + 2 * B * cand * 2 + resident
+                    <= 12 * 2**20):
                 bc = cand
     n_blocks = C // bc
 
@@ -615,9 +621,11 @@ def fused_qkv_stacked_i8(x, ln_all, wqkv_q, wqkv_s, qn_all, kn_all, cos, sin,
     C = HD + 2 * KD
     L = wqkv_q.shape[0]
     bc = D
+    resident = B * (2 * E * 2 + D * 4) + B * C * 2  # see bf16 chooser
     for cand in range(D, min(2049, KD + 1), D):
         if HD % cand == 0 and KD % cand == 0 \
-                and 2 * E * cand <= 9 * 2**20:     # int8: 1 byte/elem
+                and (2 * E * cand + 2 * B * cand * 2 + resident
+                     <= 12 * 2**20):               # int8 weights: 1 B/elem
             bc = cand
     n_blocks = C // bc
 
