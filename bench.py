@@ -149,6 +149,10 @@ def main():
     # step can carry ONE whole prompt of <= LANE tokens, causal within its
     # own rows — truly free overlap with decode's HBM-bound weight reads.
     # Width must cover the prompt length or nothing is lane-eligible.
+    # agent mode keeps the lane OFF: at B>=64 on this chip, decode+128
+    # lane rows cross the roofline ridge (~154 rows at 86 TFLOPs/560GB/s)
+    # and each step turns MXU-bound — batched-injected prefill wins
+    # (measured r4: lane-128 sustained 3755 vs lane-off ~5100 decode).
     LANE = int(os.environ.get("BENCH_LANE",
                               PROMPT if MODE == "sustained" else 0))
     # lane completions per chunk; 0 = engine default. Steady-state churn is
@@ -164,7 +168,7 @@ def main():
         max_slots=B, page_size=PS, n_pages=B * (SEQLEN // PS) + 1,
         max_seq_len=SEQLEN,
         decode_chunk_len=CHUNK, seed=0,
-        enable_prefix_cache=(MODE == "multiturn"),
+        enable_prefix_cache=(MODE in ("multiturn", "agent")),
         attn_impl=ATTN, cache_mode=CACHE_MODE, quantize=QUANT,
         kv_quantize=KVQUANT, pack_weights=PACK, context_buckets=BUCKETS,
         layer_fusion=FUSED, max_prefill_group=int(PFG) if PFG else None,
@@ -277,14 +281,103 @@ def main():
             "cached_prompt_tokens": 0,
         }
 
+    def agent_round(eng, nslots, total=None, warm=None):
+        """Sustained MULTI-TURN serving — the product workload shape
+        (reference: trajectories re-enter with the conversation so far +
+        a tool result, scripts/deep_search.py:1820-1859). Every completed
+        turn immediately re-enters as prompt+generated+64 new tokens; a
+        trajectory retires when its next turn would exceed the KV budget,
+        and a fresh one starts. With slot parking the re-entry prefills
+        only the suffix (zero-copy prefix), so the steady-state prefill
+        share is a fraction of the all-fresh sustained round's. Same
+        measurement window as sustained_round."""
+        import queue as _q
+
+        total = total or 4 * nslots
+        warm = warm if warm is not None else nslots
+        reset_stats(eng)
+        t0 = time.monotonic()
+        doneq: _q.Queue = _q.Queue()
+        submitted = 0
+        convs: dict = {}   # future -> conversation token list
+
+        def snap():
+            return {k: eng.stats[k] for k in
+                    ("decode_tokens", "decode_time_s", "slot_steps",
+                     "prefill_tokens", "lane_tokens", "slot_park_hits",
+                     "slot_park_tokens")}
+
+        def submit(ids, n_toks):
+            nonlocal submitted
+            r = GenerationRequest(prompt_ids=list(ids), max_tokens=n_toks,
+                                  temperature=0.7, top_k=20, top_p=0.8,
+                                  min_p=0.05, repetition_penalty=1.05)
+            f = eng.submit(r)
+            convs[f] = list(ids)
+            f.add_done_callback(doneq.put)
+            submitted += 1
+
+        def fresh(i):
+            return rng.integers(0, cfg.vocab_size, size=PROMPT).tolist()
+
+        def astag(i):
+            # shorter per-turn decode than the all-fresh round so a turn-2
+            # re-entry (prompt+gen+64) still fits the per-seq KV budget
+            return DECODE // 2 + (i * 37) % (DECODE // 2)
+
+        for i in range(nslots):
+            submit(fresh(i), astag(i))
+        results = []
+        win: dict = {}
+        win_tokens = 0
+        while len(results) < total:
+            f = doneq.get(timeout=3600)
+            r = f.result()
+            prompt_ids = convs.pop(f)
+            results.append(r)
+            if "t0" in win and "t1" not in win:
+                win_tokens += r.completion_tokens
+            if len(results) == warm and "t0" not in win:
+                win["t0"], win["s0"] = time.monotonic(), snap()
+            if submitted < total:
+                nxt = (prompt_ids + r.token_ids
+                       + rng.integers(0, cfg.vocab_size, size=64).tolist())
+                n_toks = astag(submitted)
+                if len(nxt) + n_toks + CHUNK + 2 > SEQLEN:
+                    nxt = fresh(submitted)      # trajectory retired
+                submit(nxt, n_toks)
+                if submitted == total:
+                    win["t1"], win["s1"] = time.monotonic(), snap()
+        wall = time.monotonic() - t0
+        st = eng.telemetry()
+        w_wall = max(win["t1"] - win["t0"], 1e-9)
+        d = {k: win["s1"][k] - win["s0"][k] for k in win["s0"]}
+        return {
+            "decode_tps": d["decode_tokens"] / max(d["decode_time_s"], 1e-9),
+            "e2e_tok_s": win_tokens / w_wall,
+            "occupancy": d["decode_tokens"] / max(d["slot_steps"], 1),
+            "decode_busy_frac": d["decode_time_s"] / w_wall,
+            "window_s": w_wall, "window_tokens": win_tokens,
+            "window_prefill_tokens": d["prefill_tokens"],
+            "park_hits": d["slot_park_hits"],
+            "park_tokens_reused": d["slot_park_tokens"],
+            "full_run_e2e": sum(r.completion_tokens for r in results) / wall,
+            "wall_s": wall, "stats": st,
+            "cached_prompt_tokens": d["slot_park_tokens"],
+        }
+
     # several measured rounds: the axon tunnel has ±10-20% run-to-run
     # variance (CLAUDE.md); report the best round, keep all in detail
     multiturn = MODE == "multiturn"
     sustained = MODE == "sustained"
+    agent = MODE == "agent"
     rounds = []
     for _ in range(int(os.environ.get("BENCH_ROUNDS", 3))):
         if sustained:
             rounds.append(sustained_round(engine, B))
+            continue
+        if agent:
+            rounds.append(agent_round(engine, B))
             continue
         reset_stats(engine)
         t0 = time.monotonic()
@@ -388,6 +481,8 @@ def main():
             burst_tps = dst["decode_tokens"] / max(dst["decode_time_s"], 1e-9)
             burst_e2e = sum(r.completion_tokens for r in dres) / dwall
             sus = sustained_round(dep, DB)
+            # the product workload: multi-turn re-entry with slot parking
+            ag = agent_round(dep, DB)
             dep_step_bytes = pbytes + DB * avg_ctx * kv_bytes_per_tok
             dep_roof = DB / (dep_step_bytes / chip_bw_bytes())
             deployment = {
@@ -405,6 +500,14 @@ def main():
                     sus["decode_busy_frac"], 4),
                 "sustained_window_s": round(sus["window_s"], 2),
                 "sustained_full_run_e2e": round(sus["full_run_e2e"], 1),
+                "agent_decode_tps": round(ag["decode_tps"], 1),
+                "agent_e2e_tok_s": round(ag["e2e_tok_s"], 1),
+                "agent_e2e_over_decode": round(
+                    ag["e2e_tok_s"] / max(ag["decode_tps"], 1e-9), 4),
+                "agent_occupancy": round(ag["occupancy"], 4),
+                "agent_park_hits": ag["park_hits"],
+                "agent_park_tokens_reused": ag["park_tokens_reused"],
+                "agent_window_prefill_tokens": ag["window_prefill_tokens"],
                 "roofline_tok_s": round(dep_roof, 1),
                 "vs_roofline": round(burst_tps / dep_roof, 4),
                 "lane_tokens": sus["stats"].get("lane_tokens", 0),
