@@ -85,7 +85,7 @@ def paged_attention(
     (T=1). XLA path materializes the gathered KV — fine for tests/small
     batches; the Pallas kernel streams pages HBM→VMEM instead.
     """
-    if impl in ("pallas", "pallas2", "clamp"):
+    if impl in ("pallas", "pallas2", "clamp") and q.shape[1] == 1:
         from .paged_attention import (
             pallas_paged_attention,
             pallas_paged_decode,
@@ -96,17 +96,23 @@ def paged_attention(
         # maps (decode only). "pallas2": per-slot page-streaming decode
         # kernel — measured slower than the (B,P)-grid kernel on v5e (DMA
         # latency dominates the tiny per-page compute), opt-in.
-        if impl == "clamp" and q.shape[1] == 1:
+        if impl == "clamp":
             return pallas_paged_decode_clamp(
                 q, k_pages, v_pages, page_table, seq_lens, scale=scale
             )
-        if impl == "pallas2" and q.shape[1] == 1:
+        if impl == "pallas2":
             return pallas_paged_decode(
                 q, k_pages, v_pages, page_table, seq_lens, scale=scale
             )
         return pallas_paged_attention(
             q, k_pages, v_pages, page_table, seq_lens, q_positions, scale=scale
         )
+    # T>1 (re-prefill over a cached prefix): ALWAYS the XLA gather. The
+    # Pallas chunked-prefill kernel is a measured-negative archive
+    # (ops/paged_attention.py docstring) and its whole-bucket q block
+    # overflows scoped VMEM at wide prompt buckets (r4: [16, 2048, 128]
+    # → 41MB > 16MB compiling a slot-engine's non-fresh prefill when the
+    # engine-wide attn_impl was "pallas").
     B, T, H, D = q.shape
     N, ps, K, _ = k_pages.shape
     P = page_table.shape[1]
