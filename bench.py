@@ -469,7 +469,11 @@ def main():
                 # activations sized to the chunk (one act per lane step)
                 prefill_lane=int(os.environ.get("BENCH_DEPLOY_LANE", PROMPT)),
                 lane_max_act=LANE_ACT or CHUNK)
-            dep.warmup(prompt_lens=(PROMPT,), max_ctx=MAXCTX)
+            # the deployment phase runs the agent round: multi-turn
+            # re-entries grow to the full KV budget, so warm the whole
+            # bucket ladder (a lazy decode-program compile mid-window is a
+            # ~15s stall on axon)
+            dep.warmup(prompt_lens=(PROMPT,), max_ctx=SEQLEN)
             dep.generate(req(-2))
             dep_init_s = time.monotonic() - t_d
             reset_stats(dep)

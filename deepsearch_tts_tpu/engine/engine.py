@@ -773,6 +773,16 @@ class Engine:
                 kv_aux = {"ks": cache[2], "vs": cache[3]}
             else:
                 k_pages, v_pages = cache
+            if fresh:
+                # fresh groups carry their WHOLE prompt in `tokens`, so the
+                # token-presence rows are derived on device — the host path
+                # built + uploaded a [Gp, V] bool mask per dispatch (~0.5MB
+                # of tunnel traffic and numpy scatter at every refill)
+                rid = jax.lax.broadcasted_iota(jnp.int32, tokens.shape, 0)
+                tok_or_oob = jnp.where(positions >= 0, tokens,
+                                       seen.shape[1])
+                seen_rows = jnp.zeros((Gp, seen.shape[1]), bool).at[
+                    rid, tok_or_oob].set(True, mode="drop")
             sp = SamplingParams(
                 samp["temperature"], samp["top_k"], samp["top_p"],
                 samp["min_p"], samp["repetition_penalty"],
@@ -861,7 +871,7 @@ class Engine:
         self.params = params
 
     def warmup(self, prompt_lens=(128,), group_sizes=None, decode=True,
-               fresh_variants=(True,), max_ctx: int | None = None) -> None:
+               fresh_variants=None, max_ctx: int | None = None) -> None:
         """Pre-compile the hot programs so serving never pays compile latency.
 
         Dispatches dummy prefill groups (per prompt-length bucket x group
@@ -878,6 +888,14 @@ class Engine:
         the ladder to a 512-token budget alone is ~7 programs). Sequences
         that outgrow the hint still work; they just pay one lazy compile.
         """
+        if fresh_variants is None:
+            # prefix-reusing engines (paged prefix cache / slot parking)
+            # re-prefill with cached_len > 0 → the NON-fresh prefill
+            # program; leaving it to lazy compile costs a ~15s remote stall
+            # mid-serving per (bucket, group) shape (measured r4 agent-mode
+            # collapse)
+            reuses_prefix = self.prefix_cache is not None or self._slot_park
+            fresh_variants = (True, False) if reuses_prefix else (True,)
         if group_sizes is None:  # every pow2 group shape the scheduler can form
             group_sizes = tuple(1 << i for i in range(
                 self.MAX_PREFILL_GROUP.bit_length()))
@@ -1480,7 +1498,7 @@ class Engine:
         seq_lens = np.zeros((Gp,), np.int32)
         logits_idx = np.zeros((Gp,), np.int32)
         rows = np.full((Gp,), self.max_slots, np.int32)  # pad rows: dropped
-        seen_rows = np.zeros((Gp, self.cfg.vocab_size), bool)
+        fresh = all(p["cached_len"] == 0 for p in grp)
 
         for g, p in enumerate(grp):
             slot, suffix, prompt = p["slot"], p["suffix"], p["prompt"]
@@ -1491,8 +1509,21 @@ class Engine:
             seq_lens[g] = len(prompt)
             logits_idx[g] = max(T - 1, 0)
             rows[g] = slot.idx
-            ids = np.asarray(prompt, np.int64)
-            seen_rows[g][ids[ids < self.cfg.vocab_size]] = True
+        if fresh:
+            # the fresh prefill program derives token-presence rows on
+            # device from `tokens`; ship a cached device-resident zero
+            # placeholder instead of a fresh [Gp, V] host upload
+            zkey = ("zrows", Gp)
+            seen_rows = self._dev_cache.get(zkey)
+            if seen_rows is None:
+                seen_rows = jnp.zeros((Gp, self.cfg.vocab_size), bool)
+                self._dev_cache[zkey] = seen_rows
+        else:
+            seen_np = np.zeros((Gp, self.cfg.vocab_size), bool)
+            for g, p in enumerate(grp):
+                ids = np.asarray(p["prompt"], np.int64)
+                seen_np[g][ids[ids < self.cfg.vocab_size]] = True
+            seen_rows = jnp.asarray(seen_np)
 
         srows = rows[:G]
         pad = lambda a: np.concatenate([a, np.repeat(a[-1:], Gp - G)]) if Gp > G else a
