@@ -471,9 +471,10 @@ def main():
                 lane_max_act=LANE_ACT or CHUNK)
             # the deployment phase runs the agent round: multi-turn
             # re-entries grow to the full KV budget, so warm the whole
-            # bucket ladder (a lazy decode-program compile mid-window is a
-            # ~15s stall on axon)
-            dep.warmup(prompt_lens=(PROMPT,), max_ctx=SEQLEN)
+            # bucket ladder AND the park-miss re-entry prompt bucket (a
+            # lazy compile mid-window is a ~12s stall on axon)
+            reentry = min(SEQLEN - 1, PROMPT + DECODE + 64 + 1)
+            dep.warmup(prompt_lens=(PROMPT, reentry), max_ctx=SEQLEN)
             dep.generate(req(-2))
             dep_init_s = time.monotonic() - t_d
             reset_stats(dep)

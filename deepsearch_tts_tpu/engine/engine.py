@@ -890,15 +890,18 @@ class Engine:
         """
         if fresh_variants is None:
             # prefix-reusing engines (paged prefix cache / slot parking)
-            # re-prefill with cached_len > 0 → the NON-fresh prefill
-            # program; leaving it to lazy compile costs a ~15s remote stall
-            # mid-serving per (bucket, group) shape (measured r4 agent-mode
-            # collapse)
+            # run the NON-fresh prefill program universally (see
+            # _prefill_group_dispatch) — one variant per shape; leaving a
+            # shape to lazy compile costs a ~12s remote stall mid-serving
+            # (measured r4 agent-mode collapse)
             reuses_prefix = self.prefix_cache is not None or self._slot_park
-            fresh_variants = (True, False) if reuses_prefix else (True,)
-        if group_sizes is None:  # every pow2 group shape the scheduler can form
-            group_sizes = tuple(1 << i for i in range(
-                self.MAX_PREFILL_GROUP.bit_length()))
+            fresh_variants = (False,) if reuses_prefix else (True,)
+        if group_sizes is None:  # every ladder group the scheduler can form
+            group_sizes, g = [], 1
+            while g <= self.MAX_PREFILL_GROUP:
+                group_sizes.append(g)
+                g *= 4
+            group_sizes = tuple(group_sizes)
         B = self.max_slots
         for plen in prompt_lens:
             bucket = self._bucket(max(int(plen), 1))
@@ -1473,9 +1476,16 @@ class Engine:
 
     @staticmethod
     def _pow2(n: int, cap: int) -> int:
+        """Pad a group size up the ladder (powers of 4: 1, 4, 16, ...).
+
+        Each distinct group shape is a jitted program — a multi-second
+        remote compile on axon — so the ladder is deliberately coarse:
+        padding rows do null-page work (cheap MXU waste) while a sparse
+        ladder keeps the warmup set small and the lazy-compile tail short
+        (r4: agent-mode serving stalled ~12s per cold prefill shape)."""
         g = 1
         while g < n:
-            g *= 2
+            g *= 4
         return min(g, cap)
 
     def _prefill_group(self, bucket: int, grp: list[dict]) -> None:
@@ -1498,7 +1508,15 @@ class Engine:
         seq_lens = np.zeros((Gp,), np.int32)
         logits_idx = np.zeros((Gp,), np.int32)
         rows = np.full((Gp,), self.max_slots, np.int32)  # pad rows: dropped
+        # prefix-reusing engines use the non-fresh program even for
+        # cached_len==0 groups (the gather path handles them; positions
+        # start at 0) — ONE program variant per (bucket, group) instead of
+        # two, halving the warmup set and the lazy-compile tail. Ring
+        # (mesh long-prefill) still requires the fresh causal path.
         fresh = all(p["cached_len"] == 0 for p in grp)
+        if fresh and (self.prefix_cache is not None or self._slot_park) \
+                and not self._ring_prefill(bucket, True):
+            fresh = False
 
         for g, p in enumerate(grp):
             slot, suffix, prompt = p["slot"], p["suffix"], p["prompt"]
