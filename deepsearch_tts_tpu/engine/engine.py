@@ -1548,7 +1548,6 @@ class Engine:
         samp = {k: jnp.asarray(pad(self.samp_host[k][srows]))
                 for k in ("temperature", "top_k", "top_p", "min_p",
                           "repetition_penalty")}
-        fresh = all(p["cached_len"] == 0 for p in grp)
         prefill = self._prefill_fn(
             (bucket, Gp, fresh, self._ring_prefill(bucket, fresh)))
         self.rng, sk = jax.random.split(self.rng)

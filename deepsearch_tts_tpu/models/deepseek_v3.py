@@ -395,6 +395,16 @@ def forward(
                         attn = attn_ops.masked_context_attention(
                             q_eff, k_ctx, k_ctx, seq_lens,
                             jnp.maximum(positions, 0), scale=scale)[..., :KL]
+                elif q_eff.shape[1] > 1:
+                    # re-prefill: latent prefix read pre-write + in-register
+                    # chunk rows (see models/qwen3.py / ops/attention.py);
+                    # rows serve as both k and v
+                    Bq, P = q_eff.shape[0], table_l.shape[1]
+                    ps_ = kpf.shape[1]
+                    old = kpf[table_l].reshape(Bq, P * ps_, 1, cfg.head_dim)
+                    attn = attn_ops.prefix_chunk_attention(
+                        q_eff, old, old, rows, rows, positions[:, 0],
+                        positions, scale=scale)[..., :KL]
                 else:
                     attn = attn_ops.paged_attention(
                         q_eff, kpf, kpf, table_l, seq_lens,

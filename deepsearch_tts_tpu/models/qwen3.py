@@ -359,6 +359,17 @@ def forward(
                         v[B_dec:].reshape(1, -1, K_, D_), impl="xla")
                     out = jnp.concatenate(
                         [out_d, out_l.reshape(-1, 1, H_, D_)], axis=0)
+                elif q.shape[1] > 1 and not kv_int8:
+                    # re-prefill over a cached prefix: gather the prefix
+                    # from the PRE-write pool and take the chunk's K/V from
+                    # registers (ops/attention.prefix_chunk_attention) —
+                    # gathering from the just-scattered pool measured ~10x
+                    # slower (XLA serializes read-after-in-place-write)
+                    Bq, P = q.shape[0], table_l.shape[1]
+                    k_old = kpf[table_l].reshape(Bq, P * ps, K, D)
+                    v_old = vpf[table_l].reshape(Bq, P * ps, K, D)
+                    out = attn_ops.prefix_chunk_attention(
+                        q, k_old, v_old, k, v, positions[:, 0], positions)
                 else:
                     out = attn_ops.paged_attention(
                         q, kw, vw, table_l, seq_lens, jnp.maximum(positions, 0),

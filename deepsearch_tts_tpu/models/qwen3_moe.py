@@ -277,6 +277,15 @@ def forward(
                         v[B_dec:].reshape(1, -1, K, D_), impl="xla")
                     out = jnp.concatenate(
                         [out_d, out_l.reshape(-1, 1, H_, D_)], axis=0)
+                elif q.shape[1] > 1:
+                    # re-prefill: cached prefix read pre-write + in-register
+                    # chunk K/V (see models/qwen3.py / ops/attention.py)
+                    Bq, P = q.shape[0], table_l.shape[1]
+                    ps_ = kpf.shape[1]
+                    k_old = kpf[table_l].reshape(Bq, P * ps_, K, D)
+                    v_old = vpf[table_l].reshape(Bq, P * ps_, K, D)
+                    out = attn_ops.prefix_chunk_attention(
+                        q, k_old, v_old, k, v, positions[:, 0], positions)
                 else:
                     out = attn_ops.paged_attention(
                         q, kw, vw, table_l, seq_lens, jnp.maximum(positions, 0),

@@ -140,6 +140,44 @@ def paged_attention(
                                     scale=scale)
 
 
+def prefix_chunk_attention(
+    q: jax.Array,            # [B, T, H, D] this chunk's queries
+    k_old: jax.Array,        # [B, S, K, D] gathered cache (stale at
+    v_old: jax.Array,        # positions >= chunk_start — masked off)
+    k_new: jax.Array,        # [B, T, K, D] this chunk's fresh keys/values
+    v_new: jax.Array,
+    chunk_start: jax.Array,  # [B] first valid position of the chunk
+    q_positions: jax.Array,  # [B, T] absolute positions; <0 = padding
+    *, scale: float | None = None,
+) -> jax.Array:
+    """Re-prefill attention: cached prefix + the chunk itself, jointly
+    softmaxed.
+
+    The cache part is read BEFORE the chunk's KV scatter: gathering from
+    the just-scattered (donated, scan-carried) pool measured ~10x slower
+    than this split on v5e (571ms vs 57ms per 16x128 group — XLA serializes
+    the read against the in-place write); reading the pre-write pool and
+    taking the chunk's K/V from registers removes the dependency, and the
+    math is identical because old keys at positions >= chunk_start are
+    masked off and replaced by the fresh in-register copies."""
+    B, T, H, D = q.shape
+    S = k_old.shape[1]
+    scale = scale if scale is not None else D ** -0.5
+    qs = q * scale
+    s_old = _gqa_scores(qs, k_old)                      # [B,K,G,T,S]
+    s_new = _gqa_scores(qs, k_new)                      # [B,K,G,T,T]
+    kpos_old = jax.lax.broadcasted_iota(jnp.int32, (B, S), 1)
+    m_old = (kpos_old < chunk_start[:, None])[:, None, None, None, :]
+    m_new = ((q_positions[:, None, :] <= q_positions[:, :, None])
+             & (q_positions[:, None, :] >= 0))[:, None, None, :, :]
+    s = jnp.concatenate([jnp.where(m_old, s_old, NEG_INF),
+                         jnp.where(m_new, s_new, NEG_INF)], axis=-1)
+    probs = jax.nn.softmax(s, axis=-1)
+    out = _gqa_out(probs[..., :S], v_old, jnp.float32) \
+        + _gqa_out(probs[..., S:], v_new, jnp.float32)
+    return out.astype(q.dtype)
+
+
 def masked_context_attention(
     q: jax.Array,        # [B, T, H, D]
     k_ctx: jax.Array,    # [B, S, K, D] each row's own context

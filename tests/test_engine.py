@@ -185,30 +185,43 @@ def test_warmup_precompiles_and_preserves_outputs():
 def test_fresh_prefill_path_used_and_correct():
     """Regression (ADVICE r1, medium): the fresh_prefill flag is actually
     passed into the model forward (it was dead — computed but dropped).
-    Greedy output through the fresh path must match a prefix-cached engine's
-    output for the same prompt."""
+    r4: prefix-REUSING engines run the non-fresh program universally (one
+    variant per shape, short lazy-compile tail), so the fresh path is
+    asserted on a prefix-less engine and the non-fresh path on the
+    default; first tokens must match the oracle on both."""
     from deepsearch_tts_tpu.models.qwen3 import forward as q3_forward
 
-    seen_flags = []
+    def make_spy(flags):
+        def spy(params, cfg, tokens, positions, **kw):
+            if kw.get("k_pages") is not None and tokens.shape[1] > 1:
+                flags.append(kw.get("fresh_prefill", False))
+            return q3_forward(params, cfg, tokens, positions, **kw)
+        return spy
 
-    def spy(params, cfg, tokens, positions, **kw):
-        if kw.get("k_pages") is not None and tokens.shape[1] > 1:  # prefill
-            seen_flags.append(kw.get("fresh_prefill", False))
-        return q3_forward(params, cfg, tokens, positions, **kw)
-
-    eng = Engine("qwen3-test", ByteTokenizer(), max_slots=2, page_size=4,
-                 n_pages=128, max_seq_len=128, decode_chunk_len=4, seed=0)
-    eng.forward = spy  # _prefill_fn reads self.forward at trace time
-    r1 = eng.generate(_greedy_req(list(range(20, 40)), max_tokens=6))
-    eng.shutdown()
-    assert seen_flags and seen_flags[0] is True, \
-        f"fresh_prefill not engaged: {seen_flags}"
-
-    # fresh-path first token must match the oracle full forward
     toks = jnp.asarray([list(range(20, 40))], jnp.int32)
     pos = jnp.arange(20, dtype=jnp.int32)[None]
+
+    flags_fresh: list = []
+    eng = Engine("qwen3-test", ByteTokenizer(), max_slots=2, page_size=4,
+                 n_pages=128, max_seq_len=128, decode_chunk_len=4, seed=0,
+                 enable_prefix_cache=False)
+    eng.forward = make_spy(flags_fresh)
+    r1 = eng.generate(_greedy_req(list(range(20, 40)), max_tokens=6))
     logits, _ = forward(eng.params, CFG, toks, pos)
-    assert r1.token_ids[0] == int(jnp.argmax(logits[0, -1]))
+    oracle = int(jnp.argmax(logits[0, -1]))
+    eng.shutdown()
+    assert flags_fresh and flags_fresh[0] is True, flags_fresh
+    assert r1.token_ids[0] == oracle
+
+    flags_cached: list = []
+    eng2 = Engine("qwen3-test", ByteTokenizer(), max_slots=2, page_size=4,
+                  n_pages=128, max_seq_len=128, decode_chunk_len=4, seed=0)
+    eng2.forward = make_spy(flags_cached)
+    r2 = eng2.generate(_greedy_req(list(range(20, 40)), max_tokens=6))
+    eng2.shutdown()
+    assert flags_cached and flags_cached[0] is False, flags_cached
+    assert r2.token_ids[0] == oracle
+    assert r2.token_ids == r1.token_ids
 
 
 def test_pipelined_decode_matches_serial():
