@@ -162,12 +162,30 @@ def slot_attention(
     sp = jnp.concatenate([jnp.asarray(layer, jnp.int32).reshape(1), mb])
     blocks_per_layer = n_rows // rb
 
-    def kv_map(i, c, sp, lim):
-        return (sp[0] * blocks_per_layer + i,
-                jnp.minimum(c, sp[1 + i] - 1), 0, 0)
-
     shared = v_pool is None
-    kv_specs = [pl.BlockSpec((rb, cb, K, D), kv_map,
+    # K == 1 (MLA latent cache): a [cb, 1, D] block puts the singleton head
+    # dim in the SUBLANE slot of the (8, 128) tile — Mosaic pads it 8x and
+    # every context DMA reads 8x the bytes (measured: slot MLA 710 tok/s vs
+    # paged 5263 even with lane-aligned rows). Squeeze the dim so blocks
+    # tile as [cb, D]; the kernel body's reshape to [cb*K, D] is unchanged.
+    squeeze = K == 1
+    if squeeze:
+        k_pool = k_pool.reshape(LN, ps, D)
+        if v_pool is not None:
+            v_pool = v_pool.reshape(LN, ps, D)
+
+        def kv_map(i, c, sp, lim):
+            return (sp[0] * blocks_per_layer + i,
+                    jnp.minimum(c, sp[1 + i] - 1), 0)
+
+        kv_block = (rb, cb, D)
+    else:
+        def kv_map(i, c, sp, lim):
+            return (sp[0] * blocks_per_layer + i,
+                    jnp.minimum(c, sp[1 + i] - 1), 0, 0)
+
+        kv_block = (rb, cb, K, D)
+    kv_specs = [pl.BlockSpec(kv_block, kv_map,
                              memory_space=pltpu.VMEM)] * (1 if shared else 2)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
