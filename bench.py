@@ -124,16 +124,16 @@ def main():
     ATTN = os.environ.get("BENCH_ATTN") or None
     PS = int(os.environ.get("BENCH_PS", 64))
     _MODE0 = os.environ.get("BENCH_MODE", "")
-    # default cache per workload: the contiguous-slot cache everywhere the
-    # model allows (the slot Pallas kernel measures 6824 vs 6435 tok/s
-    # paged-XLA, r3). r4: multiturn runs slot too — slot-mode prefix
-    # PARKING (engine re-admits a returning trajectory into its own row,
-    # token-exact, zero copy) replaced the paged-only prefix sharing. MLA
-    # stays paged: its latent rows (kv_lora+rope = 288 here / 576 on real
-    # DeepSeek) are not lane multiples and the slot slice path collapses
-    # (909 tok/s slot-XLA / 377 slot-kernel vs 5698 paged, r3 measured).
+    # default cache per workload: the contiguous-slot cache everywhere (the
+    # slot Pallas kernel measures 6824 vs 6435 tok/s paged-XLA on dense,
+    # r3). r4: multiturn runs slot too — slot-mode prefix PARKING (the
+    # engine re-admits a returning trajectory into its own row, token-exact,
+    # zero copy) replaced the paged-only prefix sharing. MLA joined in r4:
+    # lane-aligned latent rows (288→384 padding) + the K=1 sublane squeeze
+    # in the slot kernel took it from collapse (710) to parity with paged
+    # (5187 vs 5365 same-process, within tunnel variance).
     CACHE_MODE = os.environ.get(
-        "BENCH_CACHE", "paged" if (MODEL == "mla" or not on_tpu) else "slot")
+        "BENCH_CACHE", "paged" if not on_tpu else "slot")
     QUANT = os.environ.get("BENCH_QUANT") or None        # int8 weights
     KVQUANT = os.environ.get("BENCH_KVQUANT") or None    # int8 KV pages
     PACK = {"1": True, "0": False}.get(os.environ.get("BENCH_PACK", ""))  # None=auto
