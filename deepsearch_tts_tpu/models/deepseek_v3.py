@@ -401,7 +401,8 @@ def forward(
                     # rows serve as both k and v
                     Bq, P = q_eff.shape[0], table_l.shape[1]
                     ps_ = kpf.shape[1]
-                    old = kpf[table_l].reshape(Bq, P * ps_, 1, cfg.head_dim)
+                    old = attn_ops.gather_kv_rows(kpf, table_l).reshape(
+                        Bq, P * ps_, 1, cfg.head_dim)
                     attn = attn_ops.prefix_chunk_attention(
                         q_eff, old, old, rows, rows, positions[:, 0],
                         positions, scale=scale)[..., :KL]

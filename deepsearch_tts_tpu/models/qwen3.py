@@ -366,8 +366,10 @@ def forward(
                     # gathering from the just-scattered pool measured ~10x
                     # slower (XLA serializes read-after-in-place-write)
                     Bq, P = q.shape[0], table_l.shape[1]
-                    k_old = kpf[table_l].reshape(Bq, P * ps, K, D)
-                    v_old = vpf[table_l].reshape(Bq, P * ps, K, D)
+                    k_old = attn_ops.gather_kv_rows(kpf, table_l).reshape(
+                        Bq, P * ps, K, D)
+                    v_old = attn_ops.gather_kv_rows(vpf, table_l).reshape(
+                        Bq, P * ps, K, D)
                     out = attn_ops.prefix_chunk_attention(
                         q, k_old, v_old, k, v, positions[:, 0], positions)
                 else:

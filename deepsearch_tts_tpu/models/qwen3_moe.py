@@ -282,8 +282,10 @@ def forward(
                     # chunk K/V (see models/qwen3.py / ops/attention.py)
                     Bq, P = q.shape[0], table_l.shape[1]
                     ps_ = kpf.shape[1]
-                    k_old = kpf[table_l].reshape(Bq, P * ps_, K, D)
-                    v_old = vpf[table_l].reshape(Bq, P * ps_, K, D)
+                    k_old = attn_ops.gather_kv_rows(kpf, table_l).reshape(
+                        Bq, P * ps_, K, D)
+                    v_old = attn_ops.gather_kv_rows(vpf, table_l).reshape(
+                        Bq, P * ps_, K, D)
                     out = attn_ops.prefix_chunk_attention(
                         q, k_old, v_old, k, v, positions[:, 0], positions)
                 else:
