@@ -156,7 +156,12 @@ def gather_kv_rows(pool: jax.Array, table: jax.Array, max_unroll: int = 32
     rows = [jax.lax.dynamic_index_in_dim(pool, table[g, p], 0,
                                          keepdims=False)
             for g in range(G) for p in range(P)]
-    return jnp.stack(rows).reshape((G, P) + pool.shape[1:])
+    out = jnp.stack(rows).reshape((G, P) + pool.shape[1:])
+    # the barrier forces the stacked slices to materialize contiguously
+    # instead of fusing into the attention einsum's operand reads — the
+    # fused form fed the MXU strided and cost 240ms/28 layers for a 6ms
+    # einsum (in-context ablation r4: non-fresh prefill 543ms → 62ms)
+    return jax.lax.optimization_barrier(out)
 
 
 def prefix_chunk_attention(
