@@ -153,8 +153,7 @@ def main():
     # lane rows cross the roofline ridge (~154 rows at 86 TFLOPs/560GB/s)
     # and each step turns MXU-bound — batched-injected prefill wins
     # (measured r4: lane-128 sustained 3755 vs lane-off ~5100 decode).
-    LANE = int(os.environ.get("BENCH_LANE",
-                              PROMPT if MODE == "sustained" else 0))
+    LANE = int(os.environ.get("BENCH_LANE", 0))
     # lane completions per chunk; 0 = engine default. Steady-state churn is
     # max_slots*chunk/mean_decode completions per chunk.
     LANE_ACT = int(os.environ.get("BENCH_LANE_ACT", 0)) or None
@@ -467,7 +466,7 @@ def main():
                 # (r4: slot-mode lane writes into the slot row's buffer);
                 # width = PROMPT so whole prompts are one-shot eligible,
                 # activations sized to the chunk (one act per lane step)
-                prefill_lane=int(os.environ.get("BENCH_DEPLOY_LANE", PROMPT)),
+                prefill_lane=int(os.environ.get("BENCH_DEPLOY_LANE", 0)),
                 lane_max_act=LANE_ACT or CHUNK)
             # the deployment phase runs the agent round: multi-turn
             # re-entries grow to the full KV budget, so warm the whole
