@@ -134,6 +134,8 @@ def main():
     # (5187 vs 5365 same-process, within tunnel variance).
     CACHE_MODE = os.environ.get(
         "BENCH_CACHE", "paged" if not on_tpu else "slot")
+    if int(os.environ.get("BENCH_SPEC", 0)):
+        CACHE_MODE = "slot"   # speculative decoding is slot-cache-only
     QUANT = os.environ.get("BENCH_QUANT") or None        # int8 weights
     KVQUANT = os.environ.get("BENCH_KVQUANT") or None    # int8 KV pages
     PACK = {"1": True, "0": False}.get(os.environ.get("BENCH_PACK", ""))  # None=auto
@@ -157,6 +159,16 @@ def main():
     # lane completions per chunk; 0 = engine default. Steady-state churn is
     # max_slots*chunk/mean_decode completions per chunk.
     LANE_ACT = int(os.environ.get("BENCH_LANE_ACT", 0)) or None
+    # n-gram speculative decoding (engine/speculative.py): >0 sets spec_k.
+    # Opt-in: random-weight sampled decode has little copy structure, so the
+    # honest default stays non-speculative; greedy random-init decode cycles
+    # and shows the acceptance ceiling (pair with BENCH_GREEDY=1).
+    SPEC = int(os.environ.get("BENCH_SPEC", 0))
+    GREEDY = os.environ.get("BENCH_GREEDY", "0") == "1"
+    SAMP_KW = (dict(temperature=0.0, top_k=20, top_p=1.0, min_p=0.0,
+                    repetition_penalty=1.0) if GREEDY else
+               dict(temperature=0.7, top_k=20, top_p=0.8, min_p=0.05,
+                    repetition_penalty=1.05))
 
     from deepsearch_tts_tpu.engine.weights import fast_random_params
 
@@ -172,6 +184,7 @@ def main():
         kv_quantize=KVQUANT, pack_weights=PACK, context_buckets=BUCKETS,
         layer_fusion=FUSED, max_prefill_group=int(PFG) if PFG else None,
         prefill_lane=LANE, lane_max_act=LANE_ACT,
+        speculative=("ngram" if SPEC else None), spec_k=(SPEC or 3),
     )
     init_s = time.monotonic() - t_init
 
@@ -182,9 +195,7 @@ def main():
     def req(i, n_tokens=None):
         ids = rng.integers(0, cfg.vocab_size, size=PROMPT).tolist()
         return GenerationRequest(prompt_ids=ids,
-                                 max_tokens=n_tokens or DECODE,
-                                 temperature=0.7, top_k=20, top_p=0.8,
-                                 min_p=0.05, repetition_penalty=1.05)
+                                 max_tokens=n_tokens or DECODE, **SAMP_KW)
 
     def stag(i):
         # staggered decode lengths (mean ≈ DECODE) for steady-state rounds:
@@ -309,8 +320,7 @@ def main():
         def submit(ids, n_toks):
             nonlocal submitted
             r = GenerationRequest(prompt_ids=list(ids), max_tokens=n_toks,
-                                  temperature=0.7, top_k=20, top_p=0.8,
-                                  min_p=0.05, repetition_penalty=1.05)
+                                  **SAMP_KW)
             f = eng.submit(r)
             convs[f] = list(ids)
             f.add_done_callback(doneq.put)
@@ -394,9 +404,7 @@ def main():
                 ids = (list(rq.prompt_ids) + list(r.token_ids)
                        + rng.integers(0, cfg.vocab_size, size=64).tolist())
                 reqs2.append(GenerationRequest(
-                    prompt_ids=ids, max_tokens=DECODE, temperature=0.7,
-                    top_k=20, top_p=0.8, min_p=0.05,
-                    repetition_penalty=1.05))
+                    prompt_ids=ids, max_tokens=DECODE, **SAMP_KW))
             results2 = [f.result(timeout=3600)
                         for f in engine.submit_many(reqs2)]
             cached = sum(r.cached_prompt_tokens for r in results2)
@@ -437,6 +445,12 @@ def main():
         "quantize": engine.quantize, "kv_quantize": engine.kv_quantize,
         "layer_fusion": engine.layer_fusion,
     }
+    if SPEC:
+        eng_info["speculative"] = f"ngram k={SPEC}"
+        eng_info["spec_tokens_per_step"] = round(
+            st.get("decode_tokens", 0) / max(st.get("slot_steps", 1), 1), 3)
+    if GREEDY:
+        eng_info["greedy"] = True
 
     # Deployment configuration (VERDICT r2 #5): the ratio-optimal B=64 is
     # the headline (BASELINE.md's ≥50%-of-roofline gate), but deployments
@@ -444,7 +458,7 @@ def main():
     # Measure that config too: one burst round + one steady-state
     # (sustained) round at B=96 / prefill_lane=16.
     deployment = None
-    if (on_tpu and not multiturn and not sustained
+    if (on_tpu and not multiturn and not sustained and not SPEC
             and os.environ.get("BENCH_DEPLOY", "1") != "0"):
         engine.shutdown()
         del engine  # free the B=64 KV pools before the larger engine inits

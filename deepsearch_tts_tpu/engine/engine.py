@@ -156,6 +156,16 @@ class Engine:
         #   (sample their first token in-program) per decode chunk; default
         #   LANE_MAX_ACT. Size to the expected churn: completions per chunk
         #   ≈ max_slots * decode_chunk_len / mean_decode_len.
+        speculative: str | None = None,  # "ngram": device n-gram drafting +
+        #   K-token verify decode steps (engine/speculative.py). Decode is
+        #   HBM-bound at serving batch, so a verify row's extra K tokens ride
+        #   the same weight read — every accepted draft is a ~free token.
+        #   Greedy outputs are bit-identical to sequential decode; sampled
+        #   outputs are distribution-identical via exact-match acceptance.
+        #   Requires the contiguous-slot cache (rejected-window KV rewinds by
+        #   construction: the next window overwrites it before any read).
+        spec_k: int = 3,       # draft tokens per verify step
+        spec_ngram: int = 2,   # n-gram length for the draft lookup
         seed: int = 0,
         enable_prefix_cache: bool = True,
     ):
@@ -170,6 +180,28 @@ class Engine:
         self.max_seq_len = max_seq_len
         self.max_pages_per_seq = -(-max_seq_len // page_size)
         self.decode_chunk_len = decode_chunk_len
+        if speculative is not None:
+            if speculative != "ngram":
+                raise ValueError(f"unknown speculative mode {speculative!r}")
+            if cache_mode != "slot":
+                raise ValueError(
+                    "speculative decoding requires cache_mode='slot' (the "
+                    "contiguous rows make rejected-window KV rewind free)")
+            if kv_quantize:
+                raise ValueError("speculative decoding excludes int8 KV")
+            if prefill_lane:
+                raise ValueError(
+                    "speculative decoding and the prefill lane are mutually "
+                    "exclusive decode-program variants")
+            if spec_k < 1 or spec_ngram < 1:
+                raise ValueError("spec_k and spec_ngram must be >= 1")
+        self.speculative = speculative
+        self.spec_k = int(spec_k)
+        self.spec_ngram = int(spec_ngram)
+        # worst-case device-side sequence advance per decode chunk: each of
+        # the chunk's steps emits 1..spec_k+1 tokens under speculation
+        self._max_adv = (decode_chunk_len * (self.spec_k + 1)
+                         if speculative else decode_chunk_len)
         # admissions per scheduler iteration: default = all free slots
         # (max throughput); lower for tighter decode latency under load
         self.admit_batch = admit_batch if admit_batch is not None else max_slots
@@ -407,6 +439,12 @@ class Engine:
         }
         self.min_tokens = np.zeros((B,), np.int32)
         self.prompt_lens = np.zeros((B,), np.int32)
+        if self.speculative:
+            # token history for the n-gram draft lookup: host mirror carries
+            # each row's prompt at admission; the decode program extends it
+            # in-carry with emitted tokens (hist[b, q] = token at position q)
+            self.hist_host = np.zeros((B, max_seq_len), np.int32)
+            self.toks_hist = jnp.zeros((B, max_seq_len), jnp.int32)
         self.rng = jax.random.PRNGKey(seed)
         self.step_counter = 0
 
@@ -504,13 +542,16 @@ class Engine:
         return sorted(out)
 
     def _decode_program(self, slot_ctx: int | None = None,
-                        lane: bool = False):
+                        lane: bool = False, spec: bool = False):
         if self.cache_mode != "slot":
             slot_ctx = None
-        key = (slot_ctx, bool(lane))
+        key = (slot_ctx, bool(lane), bool(spec))
         fn = self._decode_fn_cache.get(key)
         if fn is None:
-            fn = self._build_decode_fn(slot_ctx, lane=lane)
+            if spec:
+                fn = self._build_decode_spec_fn(slot_ctx)
+            else:
+                fn = self._build_decode_fn(slot_ctx, lane=lane)
             self._decode_fn_cache[key] = fn
         return fn
 
@@ -608,6 +649,114 @@ class Engine:
                     keys)
             return (k_pages, v_pages, kv_aux, seen, last_tok, seq_lens,
                     toks.T)  # [B, chunk]
+
+        return decode_chunk
+
+    def _build_decode_spec_fn(self, slot_ctx: int | None = None):
+        """Decode-chunk program with n-gram speculative verify steps.
+
+        Each scan step drafts ``spec_k`` tokens per row from the device
+        token history (engine/speculative.py), runs ONE forward over the
+        K+1-token window ([last, d_0..d_{K-1}] at positions p..p+K — the
+        HBM-bound weight read is shared by all K+1 tokens), samples every
+        window position in one batched sampler pass, and emits the longest
+        draft-matching prefix plus the first correction token (exact-match
+        acceptance: emitted tokens are always true samples).
+
+        Rejected tokens' KV needs no cleanup: the contiguous-slot layout
+        means the next step's window (which starts at the new length) always
+        covers and overwrites the stale positions before any read, and
+        attention masks by per-query position meanwhile.
+        """
+        cfg, fwd = self.cfg, self.forward
+        chunk = self.decode_chunk_len
+        impl = self.attn_impl
+        K = self.spec_k
+        K1 = K + 1
+        NGRAM = self.spec_ngram
+
+        eos_id = self.tokenizer.eos_id if self.tokenizer.eos_id is not None else -1
+        n_inject = self.n_inject
+
+        from .speculative import accept_drafts, ngram_draft
+
+        @partial(jax.jit, donate_argnums=(0, 1, 2, 5, 6))
+        def decode_chunk(k_pages, v_pages, kv_aux, params, page_tables, seen,
+                         hist, last_tok, seq_lens, host_last, host_lens,
+                         host_hist, use_host, active, samp, key, min_tokens,
+                         prompt_lens, inject_rows, inject_toks):
+            last_tok = jnp.where(use_host, host_last, last_tok)
+            seq_lens = jnp.where(use_host, host_lens, seq_lens)
+            hist = jnp.where(use_host[:, None], host_hist, hist)
+            for gi in range(n_inject):
+                last_tok = last_tok.at[inject_rows[gi]].set(inject_toks[gi],
+                                                            mode="drop")
+            B = last_tok.shape[0]
+            S = hist.shape[1]
+            rows = jnp.arange(B)
+            # invariant: hist[b, lens[b]] == last_tok[b] (the prompt rows
+            # merged from the host carry only positions < prompt_len; the
+            # first sampled / injected token sits at position lens)
+            hist = hist.at[rows, jnp.clip(seq_lens, 0, S - 1)].set(last_tok)
+
+            # per-row sampler params repeated per window position (row-major
+            # pairing (b, i) -> b*K1 + i matches the logits reshape below)
+            samp_r = {k: jnp.repeat(v, K1, axis=0) for k, v in samp.items()}
+            min_r = jnp.repeat(min_tokens, K1, axis=0)
+            pos_off = jax.lax.broadcasted_iota(jnp.int32, (B, K1), 1)
+
+            def step(carry, step_key):
+                kp, vp, aux, last, lens, seen, hist = carry
+                draft = ngram_draft(hist, lens, K, n=NGRAM)       # [B, K]
+                win = jnp.concatenate([last[:, None], draft], axis=1)
+                pos = lens[:, None] + pos_off                     # [B, K1]
+                pos = jnp.where(active[:, None], pos, -1)
+                fwd_kw = {"slot_decode": True, "slot_ctx": slot_ctx}
+                logits, cache = fwd(
+                    params, cfg, win, pos,
+                    k_pages=kp, v_pages=vp, page_table=page_tables,
+                    seq_lens=lens + K1 * active.astype(jnp.int32),
+                    impl=impl, **fwd_kw,
+                )
+                kp, vp = cache
+                # one batched sampler pass over all window positions. The
+                # documented approximation: within this <=K1-token window the
+                # repetition penalty sees the window-start ``seen`` set.
+                sp = SamplingParams(
+                    samp_r["temperature"], samp_r["top_k"], samp_r["top_p"],
+                    samp_r["min_p"], samp_r["repetition_penalty"],
+                    min_tokens=min_r,
+                    tokens_generated=(
+                        (lens - prompt_lens + 1)[:, None] + pos_off
+                    ).reshape(B * K1),
+                    eos_id=eos_id,
+                )
+                seen_r = jnp.repeat(seen, K1, axis=0)
+                t = sample(logits.reshape(B * K1, -1), sp, seen_r,
+                           step_key).reshape(B, K1)
+                ncons, nxt, alive = accept_drafts(t, draft, active)
+                nxt = jnp.where(active, nxt, last)
+                emit = alive & active[:, None]
+                V = seen.shape[1]
+                rows_b = jax.lax.broadcasted_iota(jnp.int32, (B, K1), 0)
+                seen = seen.at[rows_b, jnp.where(emit, t, V)].set(
+                    True, mode="drop")
+                posw = lens[:, None] + 1 + pos_off
+                hist = hist.at[rows_b,
+                               jnp.where(emit & (posw < S), posw, S)].set(
+                                   t, mode="drop")
+                lens = lens + ncons
+                return (kp, vp, aux, nxt, lens, seen, hist), (t, ncons)
+
+            keys = jax.random.split(key, chunk)
+            (k_pages, v_pages, kv_aux, last_tok, seq_lens, seen, hist), ys = \
+                jax.lax.scan(
+                    step,
+                    (k_pages, v_pages, kv_aux, last_tok, seq_lens, seen,
+                     hist), keys)
+            toks, cnts = ys                       # [chunk, B, K1], [chunk, B]
+            return (k_pages, v_pages, kv_aux, seen, hist, last_tok, seq_lens,
+                    toks.transpose(1, 0, 2), cnts.T)  # [B,chunk,K1], [B,chunk]
 
         return decode_chunk
 
@@ -967,6 +1116,23 @@ class Engine:
                             jnp.full((A,), B, jnp.int32),
                             jnp.zeros((A,), jnp.int32),
                         )
+                    if self.speculative:
+                        out = self._decode_program(s_cur, spec=True)(
+                            self.k_pages, self.v_pages, self.kv_aux,
+                            self.params,
+                            jnp.asarray(self.page_tables[:, :p_cur]),
+                            self.seen, self.toks_hist,
+                            last, lens, last, lens,
+                            jnp.asarray(self.hist_host),
+                            jnp.ones((B,), bool),
+                            jnp.zeros((B,), bool), samp, key,
+                            jnp.asarray(self.min_tokens),
+                            jnp.asarray(self.prompt_lens),
+                            *self._inject_args(),
+                        )
+                        (self.k_pages, self.v_pages, self.kv_aux,
+                         self.seen, self.toks_hist) = out[:5]
+                        continue
                     out = self._decode_program(s_cur, lane=lane_on)(
                         self.k_pages, self.v_pages, self.kv_aux, self.params,
                         jnp.asarray(self.page_tables[:, :p_cur]), self.seen,
@@ -1395,7 +1561,7 @@ class Engine:
             eff_max = max(1, min(eff_tokens, self.max_seq_len - 1))
             keep = max(1, self.max_seq_len - eff_max - 1)
             prompt = prompt[-keep:]
-        total_budget = min(len(prompt) + eff_tokens + self.decode_chunk_len,
+        total_budget = min(len(prompt) + eff_tokens + self._max_adv,
                            self.max_seq_len)
 
         shared: list[int] = []
@@ -1469,6 +1635,12 @@ class Engine:
         self.min_tokens[b] = (req.min_tokens if resume is None else
                               max(0, req.min_tokens - len(slot.generated)))
         self.prompt_lens[b] = len(prompt)
+        if self.speculative:
+            # n-gram draft history: the full (prompt + resumed-generation)
+            # token stream at positions 0..len(prompt)-1; decode extends it
+            # on device (prompt-lookup drafts come from exactly these rows)
+            self.hist_host[b, : len(prompt)] = prompt
+            self.hist_host[b, len(prompt):] = 0
         self._mark_dirty()
         return {"slot": slot, "req": req, "suffix": prompt[cached_len:],
                 "cached_len": cached_len, "prompt": prompt,
@@ -1694,7 +1866,7 @@ class Engine:
         """Worth dispatching chunk N+1 before syncing N? Only if some slot is
         certain to still want tokens after the outstanding chunk (otherwise
         the speculative chunk is pure waste at drain time)."""
-        chunk = self.decode_chunk_len
+        chunk, adv = self.decode_chunk_len, self._max_adv
         if any(not e.get("aborted") and e["off"] < len(e["p"]["suffix"])
                for e in self._lane):
             return True  # lane work keeps a speculative chunk productive
@@ -1702,8 +1874,8 @@ class Engine:
             if not s.active or not h["active"][s.idx] \
                     or h["epochs"][s.idx] != s.epoch:
                 continue
-            if s.stop.max_tokens - s.stop.n_tokens > chunk \
-                    and int(self.seq_lens[s.idx]) + 2 * chunk < self.max_seq_len:
+            if s.stop.max_tokens - s.stop.n_tokens > adv \
+                    and int(self.seq_lens[s.idx]) + 2 * adv < self.max_seq_len:
                 return True
         return False
 
@@ -1714,13 +1886,13 @@ class Engine:
         refill) would ride it inactive — one whole idle chunk per refill,
         which at steady-state churn costs far more row-steps than the
         dispatch round trip that speculation hides."""
-        chunk = self.decode_chunk_len
+        adv = self._max_adv
         for s in self.slots:
             if not s.active or not h["active"][s.idx] \
                     or h["epochs"][s.idx] != s.epoch:
                 continue
-            if s.stop.max_tokens - s.stop.n_tokens <= chunk \
-                    or int(self.seq_lens[s.idx]) + 2 * chunk \
+            if s.stop.max_tokens - s.stop.n_tokens <= adv \
+                    or int(self.seq_lens[s.idx]) + 2 * adv \
                     >= self.max_seq_len:
                 return True
         return False
@@ -1771,24 +1943,26 @@ class Engine:
         proceed (page headroom would need a preemption decision that must
         wait for the carry's results)."""
         chunk = self.decode_chunk_len
+        adv = self._max_adv   # worst-case device advance per chunk (> chunk
+        #                       under speculation: each step emits up to K+1)
         valid = np.zeros((self.max_slots,), bool)
         if carry is not None:
             for s in self.slots:
                 valid[s.idx] = (s.active and carry["active"][s.idx]
                                 and carry["epochs"][s.idx] == s.epoch)
         # host view of each sequence's length after the outstanding chunk
-        predicted = self.seq_lens + np.where(valid, chunk, 0)
+        predicted = self.seq_lens + np.where(valid, adv, 0)
         active = np.array([s.active for s in self.slots], bool)
         # never dispatch a row whose positions could exceed the page budget:
         # write_kv_flat clamps out-of-range page lookups, which would land
         # junk inside the sequence's last page (prefix-cache poison)
-        active &= predicted + chunk + 1 <= self.max_seq_len
+        active &= predicted + adv + 1 <= self.max_seq_len
 
         # page headroom for this chunk (paged mode only)
         for s in self.slots:
             if not active[s.idx] or self.cache_mode == "slot":
                 continue
-            need_pages = -(-int(predicted[s.idx] + chunk + 1) // self.page_size)
+            need_pages = -(-int(predicted[s.idx] + adv + 1) // self.page_size)
             have = len(s.shared_pages) + len(s.pages)
             if need_pages > have:
                 extra = need_pages - have
@@ -1822,7 +1996,7 @@ class Engine:
         s_cur = None
         if self.context_buckets:
             need = int(np.max(np.where(active, predicted, 0), initial=0)) \
-                + chunk + 1
+                + adv + 1
             if lane_plan is not None:
                 need = max(need, lane_plan["max_tokens_needed"])
             if self.cache_mode == "slot":
@@ -1856,11 +2030,24 @@ class Engine:
         min_toks = self._dev("min_tokens", lambda: jnp.asarray(self.min_tokens))
         plens = self._dev("prompt_lens", lambda: jnp.asarray(self.prompt_lens))
         act_first = None
+        cnts = None
         inj = self._inject_args(tuple(self._inject_handles))
         # idle-lane chunks dispatch the plain program — the lane variant's
         # extra rows cost ~9%/step even with nothing to prefill (r4 A/B)
         lane_on = bool(lane_plan and lane_plan["steps"])
-        if lane_on:
+        if self.speculative:
+            hist_host = self._dev("hist", lambda: jnp.asarray(self.hist_host))
+            with self.spans.span("decode_dispatch"):
+                (self.k_pages, self.v_pages, self.kv_aux, self.seen,
+                 self.toks_hist, last, lens, toks, cnts) = \
+                    self._decode_program(s_cur, spec=True)(
+                        self.k_pages, self.v_pages, self.kv_aux, self.params,
+                        tables, self.seen, self.toks_hist,
+                        last, lens, host_last, host_lens, hist_host,
+                        jnp.asarray(use_host), jnp.asarray(active), samp, key,
+                        min_toks, plens, *inj,
+                    )
+        elif lane_on:
             la = self._lane_arrays(lane_plan, chunk, p_cur)
             with self.spans.span("decode_dispatch"):
                 (self.k_pages, self.v_pages, self.kv_aux, self.seen, last,
@@ -1886,7 +2073,7 @@ class Engine:
         return {
             "active": active,
             "epochs": [s.epoch for s in self.slots],
-            "last": last, "lens": lens, "toks": toks,
+            "last": last, "lens": lens, "toks": toks, "cnts": cnts,
             "act_first": act_first,
             "acts": lane_plan["acts"] if lane_plan else [],
             "lane_tokens_n": lane_plan["n_tokens"] if lane_plan else 0,
@@ -1895,10 +2082,12 @@ class Engine:
         }
 
     def _process_decode(self, h: dict) -> None:
+        spec = h.get("cnts") is not None
         with self.spans.span("decode_sync"):
             toks_np = np.asarray(h["toks"])   # the host↔device sync point
             last_np = np.asarray(h["last"])
             lens_np = np.asarray(h["lens"])
+            cnts_np = np.asarray(h["cnts"]) if spec else None
         n_new = 0
         for s in self.slots:
             if not s.active or not h["active"][s.idx] \
@@ -1906,14 +2095,24 @@ class Engine:
                 continue  # finished/aborted/re-admitted since dispatch
             self.last_tok[s.idx] = last_np[s.idx]
             self.seq_lens[s.idx] = lens_np[s.idx]
-            consumed = self._process_chunk(s, toks_np[s.idx])
+            if spec:
+                # variable emission: flatten the [chunk, K+1] window tokens
+                # by each step's accepted count (row-major mask keeps order)
+                c = cnts_np[s.idx]                       # [chunk]
+                wins = toks_np[s.idx]                    # [chunk, K+1]
+                emitted = int(c.sum())
+                arr = wins[np.arange(wins.shape[1])[None, :] < c[:, None]]
+            else:
+                emitted = self.decode_chunk_len
+                arr = toks_np[s.idx]
+            consumed = self._process_chunk(s, arr)
             n_new += consumed
             if s.stop.finished:
                 # trim over-generated tokens: KV past the true end is masked
                 # by seq_lens so no cleanup is needed on device
-                self.seq_lens[s.idx] -= self.decode_chunk_len - consumed
+                self.seq_lens[s.idx] -= emitted - consumed
                 self._finish_slot(s)
-            elif self.seq_lens[s.idx] + self.decode_chunk_len >= self.max_seq_len:
+            elif self.seq_lens[s.idx] + self._max_adv >= self.max_seq_len:
                 self._finish_slot(s, reason="length")
         if h.get("acts"):
             act_np = np.asarray(h["act_first"])
@@ -2040,4 +2239,10 @@ class Engine:
             out["prefix_cache"] = self.prefix_cache.stats()
         if out["decode_time_s"] > 0:
             out["decode_tokens_per_s"] = out["decode_tokens"] / out["decode_time_s"]
+        if self.speculative and out["slot_steps"] > 0:
+            # tokens emitted per verify step; 1.0 = no accepted drafts,
+            # spec_k+1 = every draft accepted (slot_steps counts dispatched
+            # row-steps = forward passes, same meaning as non-spec engines)
+            out["spec_tokens_per_step"] = (out["decode_tokens"]
+                                           / out["slot_steps"])
         return out
