@@ -195,6 +195,26 @@ class Engine:
                     "exclusive decode-program variants")
             if spec_k < 1 or spec_ngram < 1:
                 raise ValueError("spec_k and spec_ngram must be >= 1")
+            # regime check: a verify step pushes max_slots*(spec_k+1) rows
+            # through every matmul. Past the chip's roofline ridge
+            # (~154 rows at 86 TFLOPs / 560 GB/s achievable for a 1.5B
+            # model) the step turns MXU-bound and each verify costs far
+            # more than a plain step — measured on v5e B=64: K=1 verify
+            # 1.27x, K=3 2.4x a plain step, so acceptance must exceed
+            # 0.27/1.4 extra tokens/step just to break even. Speculation's
+            # honest home is the low-batch latency regime.
+            if max_slots * (spec_k + 1) > 154:
+                import warnings
+
+                warnings.warn(
+                    f"speculative decoding with max_slots={max_slots}, "
+                    f"spec_k={spec_k} puts {max_slots * (spec_k + 1)} rows "
+                    "through each verify matmul — past the ~154-row MXU "
+                    "roofline ridge on v5e-class chips, verify steps are "
+                    "compute-bound and usually lose to plain decode "
+                    "(measured: B=64 K=3 sampled = 2.4x overhead at zero "
+                    "acceptance). Use speculation at small batch.",
+                    stacklevel=2)
         self.speculative = speculative
         self.spec_k = int(spec_k)
         self.spec_ngram = int(spec_ngram)
@@ -243,6 +263,10 @@ class Engine:
             # extra rows in one activation block — gate on the combined
             # width or a lane engine OOMs VMEM at warmup (r4: B=96+128)
             rows_eff = max_slots + int(prefill_lane or 0)
+            if speculative:
+                # verify steps flatten the K+1-token windows into rows:
+                # every fused matmul sees max_slots*(spec_k+1) activations
+                rows_eff = max_slots * (int(spec_k) + 1)
             if getattr(c, "latent_cache", False):  # MLA: MLP-side kernels
                 fshared = c.moe_intermediate * c.n_shared_experts
                 fit = (c.dense_intermediate % 128 == 0
@@ -712,6 +736,15 @@ class Engine:
                 pos = lens[:, None] + pos_off                     # [B, K1]
                 pos = jnp.where(active[:, None], pos, -1)
                 fwd_kw = {"slot_decode": True, "slot_ctx": slot_ctx}
+                if self.layer_fusion:
+                    # T = K+1 verify windows flatten into B*(K+1) activation
+                    # rows through the same fused layer kernels; attention
+                    # takes the windowed slot kernel (per-query causal
+                    # limits). Without this the verify step pays the full
+                    # unfused per-layer small-op overhead — measured 1.8x a
+                    # plain step at B=8 where the window matmul itself is
+                    # HBM-bound and should be ~free.
+                    fwd_kw["fused_decode"] = True
                 logits, cache = fwd(
                     params, cfg, win, pos,
                     k_pages=kp, v_pages=vp, page_table=page_tables,

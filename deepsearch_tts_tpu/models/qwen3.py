@@ -267,7 +267,15 @@ def forward(
                     [page_table,
                      jnp.broadcast_to(lane_table[None], (Tp, 1))], axis=0)
 
-        use_fused = (fused_decode and tokens.shape[1] == 1
+        # T>1 windows (speculative verify steps, engine spec_k+1 tokens per
+        # row) flatten into B*T activation rows through the same fused
+        # kernels; attention takes the windowed slot kernel below. Without
+        # this the verify step pays the unfused per-layer small-op overhead
+        # (measured 1.8x a plain step at B=8).
+        use_fused = (fused_decode
+                     and (tokens.shape[1] == 1
+                          or (slot_decode and not lane
+                              and tokens.shape[1] <= 8))
                      and not fresh_prefill
                      and "wqkv" in lp_stack and "w_gateup" in lp_stack)
         fused_i8 = use_fused and isinstance(lp_stack["wqkv"], dict)
@@ -307,7 +315,20 @@ def forward(
                 elif slot_decode:
                     q_dec = q[:B_dec] if lane else q
                     pos_dec = positions[:B_dec] if lane else positions
-                    if impl == "pallas" and q.shape[1] == 1:
+                    if impl == "pallas" and q.shape[1] > 1 and not lane:
+                        # speculative verify window: per-(row, t) causal
+                        # limits, one context DMA shared by the window
+                        # (ops/slot_attention.slot_window_attention)
+                        from ..ops.slot_attention import (
+                            slot_window_attention,
+                        )
+
+                        out = slot_window_attention(
+                            q_dec, kw, vw, seq_lens, pos_dec[:, 0],
+                            layer, n_rows=N,
+                            slot_ctx=(slot_ctx if slot_ctx is not None
+                                      else kw.shape[1]))
+                    elif impl == "pallas" and q.shape[1] == 1:
                         # in-kernel multi-row streaming with per-row-block
                         # context clamping (ops/slot_attention.py) — the
                         # pool is read by the kernel's own index maps, no
@@ -395,39 +416,46 @@ def forward(
                     fused_qkv_stacked_i8,
                 )
 
+                # T>1 verify windows flatten into B*T rows: the kernels are
+                # pure row-wise matmul+norm+rope, so row count is all that
+                # changes (rope cos/sin are already per (row, position))
+                BT = B * T
+                xf = x.reshape(BT, E)
+                cosf = cos.reshape(BT, -1)
+                sinf = sin.reshape(BT, -1)
                 if fused_i8:
                     # int8 weight blocks + per-channel scales stream through
                     # the BlockSpecs; half the weight HBM per step
                     qf, kf2, vf2 = fused_qkv_stacked_i8(
-                        x[:, 0], lp_stack["ln1"], lp_stack["wqkv"]["q"],
+                        xf, lp_stack["ln1"], lp_stack["wqkv"]["q"],
                         lp_stack["wqkv"]["scales"], lp_stack["q_norm"],
-                        lp_stack["k_norm"], cos[:, 0], sin[:, 0], layer,
+                        lp_stack["k_norm"], cosf, sinf, layer,
                         n_heads=H, n_kv=K, head_dim=D, eps=cfg.rms_eps)
                 else:
                     qf, kf2, vf2 = fused_qkv_stacked(
-                        x[:, 0], lp_stack["ln1"], lp_stack["wqkv"],
+                        xf, lp_stack["ln1"], lp_stack["wqkv"],
                         lp_stack["q_norm"], lp_stack["k_norm"],
-                        cos[:, 0], sin[:, 0], layer,
+                        cosf, sinf, layer,
                         n_heads=H, n_kv=K, head_dim=D, eps=cfg.rms_eps)
-                q = qf.reshape(B, 1, H, D).astype(x.dtype)
-                k = kf2.reshape(B, 1, K, D).astype(x.dtype)
-                v = vf2.reshape(B, 1, K, D).astype(x.dtype)
+                q = qf.reshape(B, T, H, D).astype(x.dtype)
+                k = kf2.reshape(B, T, K, D).astype(x.dtype)
+                v = vf2.reshape(B, T, K, D).astype(x.dtype)
                 o, kpf, vpf, ksf, vsf = attend(q, k, v)
                 if fused_i8:
                     x = fused_out_mlp_stacked_i8(
-                        o.reshape(B, H * D).astype(x.dtype), x[:, 0],
+                        o.reshape(BT, H * D).astype(x.dtype), xf,
                         lp_stack["wo"]["q"], lp_stack["wo"]["scales"],
                         lp_stack["ln2"], lp_stack["w_gateup"]["q"],
                         lp_stack["w_gateup"]["scales"],
                         lp_stack["w_down"]["q"],
                         lp_stack["w_down"]["scales"], layer,
-                        eps=cfg.rms_eps)[:, None, :]
+                        eps=cfg.rms_eps).reshape(B, T, E)
                 else:
                     x = fused_out_mlp_stacked(
-                        o.reshape(B, H * D).astype(x.dtype), x[:, 0],
+                        o.reshape(BT, H * D).astype(x.dtype), xf,
                         lp_stack["wo"], lp_stack["ln2"],
                         lp_stack["w_gateup"], lp_stack["w_down"], layer,
-                        eps=cfg.rms_eps)[:, None, :]
+                        eps=cfg.rms_eps).reshape(B, T, E)
                 if kv_int8:
                     return (x, kpf, vpf, ksf, vsf, layer + 1), None
                 return (x, kpf, vpf, layer + 1), None

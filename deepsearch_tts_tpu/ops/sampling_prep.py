@@ -84,6 +84,13 @@ def sampling_prep(
     bv = block_v
     while V % bv:
         bv //= 2
+    # VMEM residents per grid step, double-buffered by the pipeline:
+    # logits f32 in + seen bool in + scaled f32 out ≈ 9 bytes/elem x2.
+    # Speculative decode calls this with B*(K+1) rows (engine verify steps
+    # sample every window position in one pass) — at 384 rows x bv=2048 the
+    # default block overflows the 16MB scoped budget (measured: 18.38M).
+    while bv > 256 and 2 * 9 * B * bv > 12 * 2**20:
+        bv //= 2
     nb = V // bv
 
     row = lambda j: (0, 0)

@@ -166,6 +166,74 @@ def test_slot_attention_matches_xla():
                                    rtol=0.05, atol=0.02)
 
 
+def test_slot_window_attention_matches_masked_reference():
+    """Speculative verify windows: per-(row, t) causal limits vs the XLA
+    masked path the unfused spec program uses. Window keys already sit in
+    the pool (the engine scatters before attending), so the reference is
+    masked_context_attention with q_positions = base + t."""
+    import numpy as _np
+
+    from deepsearch_tts_tpu.ops.attention import masked_context_attention
+    from deepsearch_tts_tpu.ops.slot_attention import slot_window_attention
+
+    L, B, ps, K, G, D, W = 2, 8, 64, 2, 2, 32, 3
+    H = K * G
+    slot_ctx = 48
+    rng = _np.random.default_rng(13)
+    kpf = jnp.asarray(rng.standard_normal((L * B, ps, K, D)) * 0.3,
+                      jnp.bfloat16)
+    vpf = jnp.asarray(rng.standard_normal((L * B, ps, K, D)) * 0.3,
+                      jnp.bfloat16)
+    q = jnp.asarray(rng.standard_normal((B, W, H, D)) * 0.3, jnp.bfloat16)
+    # base position of each row's window start (last accepted token);
+    # mixed: short rows, crossing context blocks, near the bucket edge
+    base = jnp.asarray([0, 4, 16, 43, 32, 1, 15, 40], jnp.int32)
+    pos = base[:, None] + jnp.arange(W)[None, :]          # [B, W]
+    seq_lens = base + W   # every window key is in-sequence
+
+    for layer in range(L):
+        kl = kpf[layer * B:(layer + 1) * B, :slot_ctx]
+        vl = vpf[layer * B:(layer + 1) * B, :slot_ctx]
+        want = masked_context_attention(q, kl, vl, seq_lens, pos)
+        got = slot_window_attention(
+            q, kpf, vpf, seq_lens, base,
+            jnp.int32(layer), n_rows=B, slot_ctx=slot_ctx, interpret=True)
+        np.testing.assert_allclose(np.asarray(got, np.float32),
+                                   np.asarray(want, np.float32),
+                                   rtol=0.05, atol=0.02)
+
+
+def test_slot_window_attention_shared_pool():
+    """MLA windows: shared pool (k IS v, K=1 sublane squeeze) + windowed
+    limits."""
+    import numpy as _np
+
+    from deepsearch_tts_tpu.ops.attention import masked_context_attention
+    from deepsearch_tts_tpu.ops.slot_attention import slot_window_attention
+
+    L, B, ps, H, D, W = 2, 4, 32, 6, 48, 4
+    rng = _np.random.default_rng(17)
+    pool = jnp.asarray(rng.standard_normal((L * B, ps, 1, D)) * 0.3,
+                       jnp.bfloat16)
+    q = jnp.asarray(rng.standard_normal((B, W, H, D)) * 0.3, jnp.bfloat16)
+    base = jnp.asarray([0, 7, 16, 27], jnp.int32)
+    pos = base[:, None] + jnp.arange(W)[None, :]
+    seq_lens = base + W
+    scale = 0.21
+
+    for layer in range(L):
+        kl = pool[layer * B:(layer + 1) * B]
+        want = masked_context_attention(q, kl, kl, seq_lens, pos,
+                                        scale=scale)
+        got = slot_window_attention(
+            q, pool, None, seq_lens, base,
+            jnp.int32(layer), n_rows=B, slot_ctx=ps, scale=scale,
+            interpret=True)
+        np.testing.assert_allclose(np.asarray(got, np.float32),
+                                   np.asarray(want, np.float32),
+                                   rtol=0.05, atol=0.02)
+
+
 def test_slot_attention_shared_pool_matches_xla():
     """MLA-style shared pool (k IS v, K=1): one-operand kernel vs the XLA
     masked path."""

@@ -193,6 +193,40 @@ def test_spec_with_slot_parking_multiturn(engines):
     assert a2.token_ids == b2.token_ids
 
 
+def test_spec_layer_fusion_matches_unfused():
+    """Verify steps through the fused T>1 path (flattened-window layer
+    kernels + slot_window_attention, interpret mode on CPU) must reproduce
+    the fused NON-speculative engine's greedy stream exactly: the windowed
+    kernels process each position with the same per-row math and the same
+    online-softmax block order as the T=1 kernels, so exact-match
+    acceptance keeps greedy bit-identity within the fused impl. (Cross-impl
+    token equality — fused vs XLA — is NOT asserted: near-ties on a
+    random-init model can flip, CLAUDE.md.)"""
+    tk = ByteTokenizer()
+    kw = dict(max_slots=4, page_size=4, n_pages=128, max_seq_len=128,
+              decode_chunk_len=4, seed=0, cache_mode="slot",
+              layer_fusion=True, attn_impl="pallas")
+    ref = Engine("qwen3-test", tk, **kw)
+    eng = Engine("qwen3-test", tk, speculative="ngram", spec_k=3, **kw)
+    assert eng.packed, "layer_fusion must force packed weights"
+    try:
+        for prompt in ([10, 20, 30, 40, 50], [1, 2, 3, 1, 2, 3, 1, 2],
+                       list(range(64, 96))):
+            r1 = eng.generate(_greedy(prompt, n=24))
+            r2 = ref.generate(_greedy(prompt, n=24))
+            assert r1.token_ids == r2.token_ids
+            assert r1.finish_reason == r2.finish_reason
+        # the fused path must still accept drafts (cycling greedy decode)
+        t0 = dict(eng.stats)
+        eng.generate(_greedy([10, 20, 30, 40, 50], n=32))
+        dt = eng.stats["decode_tokens"] - t0["decode_tokens"]
+        ds = eng.stats["slot_steps"] - t0["slot_steps"]
+        assert dt / max(ds, 1) > 1.0
+    finally:
+        eng.shutdown()
+        ref.shutdown()
+
+
 def test_constructor_validation():
     tk = ByteTokenizer()
     with pytest.raises(ValueError, match="slot"):
