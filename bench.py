@@ -214,6 +214,10 @@ def main():
         MAXCTX = PROMPT + 2 * DECODE + 64 + CHUNK + 2
     elif MODE == "sustained":
         MAXCTX = PROMPT + (DECODE // 2 + DECODE) + CHUNK + 2
+    elif MODE == "latency":
+        # background streams decode 2*DECODE; speculation can overshoot by
+        # chunk*(K+1) device-side
+        MAXCTX = PROMPT + 2 * DECODE + CHUNK * ((SPEC or 0) + 1) + 2
     else:  # burst + the deployment phase's sustained round (staggered lens)
         MAXCTX = PROMPT + (DECODE // 2 + DECODE) + CHUNK + 2
     MAXCTX = min(MAXCTX, SEQLEN)
@@ -375,11 +379,88 @@ def main():
             "cached_prompt_tokens": d["slot_park_tokens"],
         }
 
+    def latency_round(eng, nbg=0):
+        """Client-visible latency for ONE stream: TTFT (submit -> first
+        on_delta callback) and per-token delivery cadence. Tokens arrive in
+        chunk-sized bursts (the engine syncs a decode chunk, then fires
+        per-token callbacks), so the honest latency metrics are the mean
+        per-token time plus the inter-BURST gap percentiles — what a
+        streaming client actually waits between screen updates. ``nbg``
+        background streams load the other slots (the serving-under-load
+        case); they outlast the probe stream by construction.
+
+        The latency regime (small batch, small chunk) is also where
+        speculative decoding lives: BENCH_SPEC composes with this mode.
+        Reference serves latency-sensitive streaming over SSE from vLLM
+        (reference: demo/run_logit.py:385-419); here the engine's own
+        chunk cadence is the measured quantity."""
+        import numpy as _np
+
+        bg = [eng.submit(req(1000 + i, n_tokens=2 * DECODE))
+              for i in range(nbg)]
+        out = []
+        for p in range(int(os.environ.get("BENCH_LAT_PROBES", 3))):
+            arr = []
+            t0 = time.monotonic()
+            r = eng.generate(GenerationRequest(
+                prompt_ids=rng.integers(
+                    0, cfg.vocab_size, size=PROMPT).tolist(),
+                max_tokens=DECODE,
+                on_delta=lambda s: arr.append(time.monotonic()),
+                **SAMP_KW))
+            total = time.monotonic() - t0
+            if not arr:
+                continue
+            gaps = _np.diff(_np.asarray(arr))
+            bursts = gaps[gaps > 5e-4]   # chunk-sync boundaries
+            out.append({
+                "ttft_ms": (arr[0] - t0) * 1e3,
+                "tok_mean_ms": (total - (arr[0] - t0)) * 1e3
+                / max(r.completion_tokens - 1, 1),
+                "burst_gap_p50_ms": float(_np.median(bursts)) * 1e3
+                if bursts.size else 0.0,
+                "burst_gap_p99_ms": float(_np.percentile(bursts, 99)) * 1e3
+                if bursts.size else 0.0,
+                "tokens_per_burst": r.completion_tokens
+                / max(bursts.size + 1, 1),
+                "single_stream_tok_s": r.completion_tokens / total,
+            })
+        for f in bg:
+            f.result(timeout=3600)
+        best = min(out, key=lambda o: o["tok_mean_ms"])
+        return {k: round(v, 3) for k, v in best.items()}
+
     # several measured rounds: the axon tunnel has ±10-20% run-to-run
     # variance (CLAUDE.md); report the best round, keep all in detail
     multiturn = MODE == "multiturn"
     sustained = MODE == "sustained"
     agent = MODE == "agent"
+    if MODE == "latency":
+        alone = latency_round(engine, nbg=0)
+        loaded = latency_round(engine, nbg=B - 1)
+        st = engine.telemetry()
+        engine.shutdown()
+        print(json.dumps({
+            "metric": "tok_mean_ms_single_stream",
+            "value": alone["tok_mean_ms"],
+            "unit": "ms",
+            "vs_baseline": 0.0,
+            "detail": {
+                "mode": "latency", "batch_slots": B, "chunk": CHUNK,
+                "prompt_len": PROMPT, "decode_len": DECODE,
+                "speculative": (f"ngram k={SPEC}" if SPEC else None),
+                "spec_tokens_per_step": round(
+                    st.get("decode_tokens", 0)
+                    / max(st.get("slot_steps", 1), 1), 3) if SPEC else None,
+                "greedy": GREEDY, "init_s": round(init_s, 2),
+                "single": alone, "loaded_full_batch": loaded,
+                "device": str(jax.devices()[0]),
+                "attn_impl": engine.attn_impl,
+                "cache_mode": engine.cache_mode,
+                "layer_fusion": engine.layer_fusion,
+            },
+        }))
+        return
     rounds = []
     for _ in range(int(os.environ.get("BENCH_ROUNDS", 3))):
         if sustained:
