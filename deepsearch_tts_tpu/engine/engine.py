@@ -136,6 +136,17 @@ class Engine:
         #   the XLA gather reads the whole bucket per row, so midpoints cut
         #   tail-step padding at the cost of a few extra decode programs.
         pipeline_decode: bool = True,  # dispatch chunk N+1 before syncing N
+        chunk_trim: bool = False,  # dispatch a HALF-length decode chunk when
+        #   some row is within half a chunk of its known max_tokens
+        #   completion. Mid-chunk completion waste (a finished row rides the
+        #   rest of the chunk inactive) is the dominant occupancy loss under
+        #   steady churn — slot_steps occupancy measured 0.76 in the r4
+        #   agent capture, ≈ the chunk/2 expected waste at mean turn ≈ 3
+        #   chunks. Trimming near known completions halves that waste while
+        #   burst phases keep the full chunk. Only engages at context
+        #   buckets whose half-length program was precompiled by warmup()
+        #   (a cold program is a ~12s remote-compile stall on axon);
+        #   excluded under speculation and the prefill lane.
         max_prefill_group: int | None = None,  # prefill rows per dispatch
         #   (padded to pow2; default 8 — larger groups amortize the per-
         #   dispatch fixed cost when bursts of same-bucket prompts arrive)
@@ -218,6 +229,14 @@ class Engine:
         self.speculative = speculative
         self.spec_k = int(spec_k)
         self.spec_ngram = int(spec_ngram)
+        if chunk_trim and (speculative or prefill_lane):
+            raise ValueError(
+                "chunk_trim is a plain-decode-program policy (mutually "
+                "exclusive with speculative decoding and the prefill lane)")
+        self.chunk_trim = bool(chunk_trim) and decode_chunk_len >= 2
+        self._trim_chunk = max(1, decode_chunk_len // 2)
+        self._trim_warm: set = set()   # (p_cur, s_cur) buckets with a warm
+        #                                half-length program
         # worst-case device-side sequence advance per decode chunk: each of
         # the chunk's steps emits 1..spec_k+1 tokens under speculation
         self._max_adv = (decode_chunk_len * (self.spec_k + 1)
@@ -484,6 +503,18 @@ class Engine:
         self.n_inject = max(2, min(6, -(-max_slots // self.MAX_PREFILL_GROUP)))
         self._pending = None           # in-flight decode chunk (see _dispatch)
         self._last_decode_end = 0.0    # pipelined decode_time accounting
+        self._chunk_ema = 0.0          # smoothed decode-chunk wall time
+        #   (sizes the adaptive closed-loop refill grace)
+        # refill-grace policy: "fixed" (the r3 2ms wait — the measured
+        # default), "adaptive" (chunk-EMA-sized wait that stops once every
+        # freed slot has a request), "off". A/B on the agent workload
+        # (scripts/probe_grace.py, 8 interleaved rounds at B=96): adaptive
+        # 4399 decode / 3464 e2e vs fixed 4385 / 3463 — statistically
+        # identical, and grace_wait_s engaged only 1-7ms per 5s window:
+        # closed-loop resubmits already land within the fixed 2ms handoff,
+        # so refill latency is NOT the agent-mode occupancy bottleneck
+        # (mid-chunk completion waste is — see chunk_trim).
+        self.refill_grace = "fixed"
         # device copies of slow-changing host state; re-uploaded only after
         # a host mutation (every host→device transfer is a tunnel round trip)
         self._host_version = 0
@@ -527,6 +558,10 @@ class Engine:
             "injected_groups": 0,
             # slot-mode prefix parking (zero-copy multi-turn re-entry)
             "slot_park_hits": 0, "slot_park_tokens": 0,
+            # half-length decode chunks dispatched near known completions
+            "trim_chunks": 0,
+            # time spent in the adaptive closed-loop refill grace
+            "grace_wait_s": 0.0,
         }
         # high-water mark for non-overlapping prefill-time accounting: under
         # two-phase admission all groups dispatch back-to-back before any
@@ -566,16 +601,18 @@ class Engine:
         return sorted(out)
 
     def _decode_program(self, slot_ctx: int | None = None,
-                        lane: bool = False, spec: bool = False):
+                        lane: bool = False, spec: bool = False,
+                        chunk_len: int | None = None):
         if self.cache_mode != "slot":
             slot_ctx = None
-        key = (slot_ctx, bool(lane), bool(spec))
+        key = (slot_ctx, bool(lane), bool(spec), chunk_len)
         fn = self._decode_fn_cache.get(key)
         if fn is None:
             if spec:
                 fn = self._build_decode_spec_fn(slot_ctx)
             else:
-                fn = self._build_decode_fn(slot_ctx, lane=lane)
+                fn = self._build_decode_fn(slot_ctx, lane=lane,
+                                           chunk_len=chunk_len)
             self._decode_fn_cache[key] = fn
         return fn
 
@@ -602,11 +639,11 @@ class Engine:
         return sorted(out)
 
     def _build_decode_fn(self, slot_ctx: int | None = None,
-                         lane: bool = False):
+                         lane: bool = False, chunk_len: int | None = None):
         if lane:
             return self._build_decode_lane_fn(slot_ctx)
         cfg, fwd = self.cfg, self.forward
-        chunk = self.decode_chunk_len
+        chunk = chunk_len or self.decode_chunk_len
         impl = self.attn_impl
 
         eos_id = self.tokenizer.eos_id if self.tokenizer.eos_id is not None else -1
@@ -1180,6 +1217,31 @@ class Engine:
                     # rebind the donated buffers and discard the rest
                     (self.k_pages, self.v_pages, self.kv_aux,
                      self.seen) = out[0], out[1], out[2], out[3]
+            if self.chunk_trim and not self.speculative:
+                # Steady-state churn serving runs at the TOP context buckets
+                # (the bucket tracks the longest active row), so the
+                # half-length trim program is only warmed — and therefore
+                # only ever dispatched — there: two extra compiles instead
+                # of a full ladder (~13s/program remote compile on axon).
+                for p_cur, s_cur in variants[-2:]:
+                    self.rng, key = jax.random.split(self.rng)
+                    samp = {k: jnp.asarray(v)
+                            for k, v in self.samp_host.items()}
+                    last = jnp.asarray(self.last_tok)
+                    lens = jnp.asarray(self.seq_lens)
+                    out = self._decode_program(
+                        s_cur, chunk_len=self._trim_chunk)(
+                        self.k_pages, self.v_pages, self.kv_aux, self.params,
+                        jnp.asarray(self.page_tables[:, :p_cur]), self.seen,
+                        last, lens, last, lens, jnp.ones((B,), bool),
+                        jnp.zeros((B,), bool), samp, key,
+                        jnp.asarray(self.min_tokens),
+                        jnp.asarray(self.prompt_lens),
+                        *self._inject_args(),
+                    )
+                    (self.k_pages, self.v_pages, self.kv_aux,
+                     self.seen) = out[0], out[1], out[2], out[3]
+                    self._trim_warm.add((p_cur, s_cur))
             jax.block_until_ready(self.seen)
 
     def start(self):
@@ -1249,14 +1311,48 @@ class Engine:
                     self._apply_aborts()
                     freed = sum(1 for s in self.slots
                                 if not s.active and s.req is None)
-                    if freed > freed_before and self._queue.empty() \
-                            and not self._deferred:
-                        # closed-loop clients resubmit from the completion
-                        # callback we just fired — give that thread handoff
-                        # a moment so the refill rides THIS admission
-                        # instead of idling a full chunk
+                    if freed > freed_before \
+                            and self.refill_grace == "fixed" \
+                            and self._queue.empty() and not self._deferred:
+                        # r3 policy (kept for A/B): a fixed 2ms handoff
                         self._wake.wait(timeout=0.002)
                         self._wake.clear()
+                    elif freed > freed_before \
+                            and self.refill_grace == "adaptive":
+                        # Adaptive closed-loop refill grace. Completion
+                        # callbacks just fired; closed-loop clients (the
+                        # agent workload: every finished turn re-enters as
+                        # the next turn) resubmit from another thread, and
+                        # every refill that misses this admission idles a
+                        # full chunk. Break-even: waiting w costs
+                        # max_slots*w row-time, a missed refill costs
+                        # chunk_wall row-time — so the budget is
+                        # freed * chunk_wall / max_slots (capped), and we
+                        # stop early once every freed slot has a request or
+                        # the arrival stream goes quiet. The old fixed 2ms
+                        # could never absorb agent-mode churn (~32
+                        # completions per chunk at B=96, mean turn ≈ 3
+                        # chunks → occupancy 0.76 in the r4 capture).
+                        n_freed = freed - freed_before
+                        budget = min(0.025, n_freed * self._chunk_ema
+                                     / max(self.max_slots, 1))
+                        deadline = time.monotonic() + budget
+                        quiet_for = 0.0
+                        last_q = self._queue.qsize() + len(self._deferred)
+                        while time.monotonic() < deadline:
+                            if last_q >= n_freed:
+                                break   # a request for every freed slot
+                            self._wake.wait(timeout=0.001)
+                            self._wake.clear()
+                            q = self._queue.qsize() + len(self._deferred)
+                            if q == last_q:
+                                quiet_for += 0.001
+                                if quiet_for >= 0.002:
+                                    break   # client has nothing (for now)
+                            else:
+                                quiet_for, last_q = 0.0, q
+                        self.stats["grace_wait_s"] += max(
+                            0.0, time.monotonic() - deadline + budget)
                     self._admit(defer=True)
             except Exception as e:  # engine-step crash: fail in-flight work loudly
                 import traceback
@@ -1984,7 +2080,9 @@ class Engine:
                 valid[s.idx] = (s.active and carry["active"][s.idx]
                                 and carry["epochs"][s.idx] == s.epoch)
         # host view of each sequence's length after the outstanding chunk
-        predicted = self.seq_lens + np.where(valid, adv, 0)
+        # (the carry records its own advance: it may be a trimmed chunk)
+        carry_adv = carry["adv"] if carry is not None else 0
+        predicted = self.seq_lens + np.where(valid, carry_adv, 0)
         active = np.array([s.active for s in self.slots], bool)
         # never dispatch a row whose positions could exceed the page budget:
         # write_kv_flat clamps out-of-range page lookups, which would land
@@ -2046,6 +2144,25 @@ class Engine:
                         p_cur = b
                         break
 
+        # chunk-length trim: when some row is within half a chunk of its
+        # known max_tokens completion, dispatch the half-length program —
+        # the row then rides at most half a chunk inactive instead of a
+        # full one (bucket/page math above stays sized to the full chunk:
+        # strictly conservative). Gated on the bucket's half program having
+        # been compiled by warmup(); EOS/stop-sequence completions are not
+        # predictable and keep the full chunk.
+        if self.chunk_trim and (p_cur, s_cur) in self._trim_warm:
+            half = self._trim_chunk
+            for s in self.slots:
+                if not active[s.idx]:
+                    continue
+                done = s.stop.n_tokens + (
+                    carry_adv if (carry is not None and valid[s.idx]) else 0)
+                if 0 < s.stop.max_tokens - done <= half:
+                    chunk = half
+                    self.stats["trim_chunks"] += 1
+                    break
+
         host_last = jnp.asarray(self.last_tok)
         host_lens = jnp.asarray(self.seq_lens)
         if carry is None:
@@ -2093,9 +2210,10 @@ class Engine:
                         min_toks, plens, *inj, *la,
                     )
         else:
+            trim = chunk if chunk != self.decode_chunk_len else None
             with self.spans.span("decode_dispatch"):
                 (self.k_pages, self.v_pages, self.kv_aux, self.seen, last,
-                 lens, toks) = self._decode_program(s_cur)(
+                 lens, toks) = self._decode_program(s_cur, chunk_len=trim)(
                         self.k_pages, self.v_pages, self.kv_aux, self.params,
                         tables, self.seen,
                         last, lens, host_last, host_lens,
@@ -2105,6 +2223,8 @@ class Engine:
         self.stats["slot_steps"] += int(active.sum()) * chunk
         return {
             "active": active,
+            "chunk": chunk,
+            "adv": self._max_adv if self.speculative else chunk,
             "epochs": [s.epoch for s in self.slots],
             "last": last, "lens": lens, "toks": toks, "cnts": cnts,
             "act_first": act_first,
@@ -2136,7 +2256,7 @@ class Engine:
                 emitted = int(c.sum())
                 arr = wins[np.arange(wins.shape[1])[None, :] < c[:, None]]
             else:
-                emitted = self.decode_chunk_len
+                emitted = h.get("chunk", self.decode_chunk_len)
                 arr = toks_np[s.idx]
             consumed = self._process_chunk(s, arr)
             n_new += consumed
@@ -2183,9 +2303,11 @@ class Engine:
         self.stats["decode_steps"] += 1
         # pipelined accounting: busy time is the union of [dispatch, sync]
         # windows, so back-to-back chunks don't double-count overlap
-        self.stats["decode_time_s"] += now - max(h["t_dispatch"],
-                                                 self._last_decode_end)
+        busy = now - max(h["t_dispatch"], self._last_decode_end)
+        self.stats["decode_time_s"] += busy
         self._last_decode_end = now
+        self._chunk_ema = busy if self._chunk_ema == 0.0 \
+            else 0.8 * self._chunk_ema + 0.2 * busy
 
     def _process_chunk(self, s: _Slot, arr: np.ndarray) -> int:
         """Fold one chunk of sampled tokens into slot state; returns tokens

@@ -282,3 +282,35 @@ def test_prefill_group_token_budget_cap():
         top_k=0, top_p=1.0, min_p=0.0, repetition_penalty=1.0))
     assert len(r.token_ids) == 4
     eng.shutdown()
+
+
+def test_chunk_trim_matches_untrimmed_greedy():
+    """chunk_trim dispatches a half-length decode chunk when a row is within
+    half a chunk of its known max_tokens completion. Chunk partitioning must
+    not change per-step math: greedy outputs are bit-identical to the
+    untrimmed engine, and the trimmed engine must actually trim."""
+    tk = ByteTokenizer()
+    kw = dict(max_slots=4, page_size=4, n_pages=64, max_seq_len=64,
+              decode_chunk_len=8, seed=0, cache_mode="slot",
+              context_buckets=False)
+    eng_a = Engine("qwen3-test", tk, **kw)
+    eng_b = Engine("qwen3-test", tk, chunk_trim=True, **kw)
+    eng_b.warmup()
+    try:
+        prompts = [[i, i + 1, i + 2, i + 3] for i in range(5, 37, 8)]
+        # max_tokens just past a chunk boundary -> the tail dispatch trims
+        lens = [9, 11, 13, 10]
+        fa = [eng_a.submit(_greedy_req(p, max_tokens=n))
+              for p, n in zip(prompts, lens)]
+        ra = [f.result(timeout=600) for f in fa]
+        fb = [eng_b.submit(_greedy_req(p, max_tokens=n))
+              for p, n in zip(prompts, lens)]
+        rb = [f.result(timeout=600) for f in fb]
+        for a, b in zip(ra, rb):
+            assert a.token_ids == b.token_ids
+            assert a.completion_tokens == b.completion_tokens
+        assert eng_b.stats["trim_chunks"] > 0
+        assert eng_a.stats["trim_chunks"] == 0
+    finally:
+        eng_a.shutdown()
+        eng_b.shutdown()
