@@ -28,6 +28,7 @@ Host↔engine contract is thread-safe: ``submit`` returns a
 from __future__ import annotations
 
 import queue
+import sys
 import threading
 import time
 import uuid
@@ -138,15 +139,21 @@ class Engine:
         pipeline_decode: bool = True,  # dispatch chunk N+1 before syncing N
         chunk_trim: bool = False,  # dispatch a HALF-length decode chunk when
         #   some row is within half a chunk of its known max_tokens
-        #   completion. Mid-chunk completion waste (a finished row rides the
-        #   rest of the chunk inactive) is the dominant occupancy loss under
-        #   steady churn — slot_steps occupancy measured 0.76 in the r4
-        #   agent capture, ≈ the chunk/2 expected waste at mean turn ≈ 3
-        #   chunks. Trimming near known completions halves that waste while
-        #   burst phases keep the full chunk. Only engages at context
-        #   buckets whose half-length program was precompiled by warmup()
-        #   (a cold program is a ~12s remote-compile stall on axon);
-        #   excluded under speculation and the prefill lane.
+        #   completion, halving mid-chunk completion waste (a finished row
+        #   rides the rest of the chunk inactive; slot_steps occupancy 0.76
+        #   in the r4 agent capture). MEASURED-NEGATIVE opt-in on axon:
+        #   the A/B (scripts/probe_trim.py, 8 interleaved agent rounds at
+        #   B=96) shows occupancy 0.93 vs 0.76-0.87 exactly as designed,
+        #   but decode 3760 vs 4286 and e2e 3114 vs 3348 — under steady
+        #   churn every chunk trims (14/14), and the ~160ms fixed
+        #   per-chunk cost through the tunnel (exposed dispatch RTT + host
+        #   merge + in-window prefill) outweighs the waste saved — the
+        #   same physics that made chunk-8 latency mode lose to chunk-32.
+        #   On a local (non-tunneled) TPU runtime the fixed cost is ~100x
+        #   smaller and this policy should win; re-measure there before
+        #   enabling. Only engages at context buckets whose half-length
+        #   program was precompiled by warmup(); excluded under
+        #   speculation and the prefill lane.
         max_prefill_group: int | None = None,  # prefill rows per dispatch
         #   (padded to pow2; default 8 — larger groups amortize the per-
         #   dispatch fixed cost when bursts of same-bucket prompts arrive)
@@ -504,7 +511,11 @@ class Engine:
         self._pending = None           # in-flight decode chunk (see _dispatch)
         self._last_decode_end = 0.0    # pipelined decode_time accounting
         self._chunk_ema = 0.0          # smoothed decode-chunk wall time
-        #   (sizes the adaptive closed-loop refill grace)
+        #   (sizes the adaptive closed-loop refill grace and the
+        #   pipelining churn break-even in _churn_imminent)
+        self.churn_rtt_s = 0.035       # assumed dispatch round trip that
+        #   pipelining hides (axon tunnel ~35ms); 0 restores the r3
+        #   any-completing-row pipelining skip
         # refill-grace policy: "fixed" (the r3 2ms wait — the measured
         # default), "adaptive" (chunk-EMA-sized wait that stops once every
         # freed slot has a request), "off". A/B on the agent workload
@@ -560,6 +571,12 @@ class Engine:
             "slot_park_hits": 0, "slot_park_tokens": 0,
             # half-length decode chunks dispatched near known completions
             "trim_chunks": 0,
+            # chunks dispatched from the previous chunk's device carry
+            # (pipelined: no exposed dispatch round trip)
+            "pipelined_chunks": 0,
+            # programs built after warmup() — each is a lazy remote
+            # compile (~12s serving stall on axon); should stay 0
+            "post_warmup_builds": 0,
             # time spent in the adaptive closed-loop refill grace
             "grace_wait_s": 0.0,
         }
@@ -608,6 +625,10 @@ class Engine:
         key = (slot_ctx, bool(lane), bool(spec), chunk_len)
         fn = self._decode_fn_cache.get(key)
         if fn is None:
+            if getattr(self, "_warmed", False):
+                self.stats["post_warmup_builds"] += 1
+                print(f"[engine] post-warmup decode program build: "
+                      f"(slot_ctx,lane,spec,chunk)={key}", file=sys.stderr)
             if spec:
                 fn = self._build_decode_spec_fn(slot_ctx)
             else:
@@ -967,6 +988,13 @@ class Engine:
         """
         if key in self._jit_cache:
             return self._jit_cache[key]
+        if getattr(self, "_warmed", False):
+            # every program built after warmup() is a lazy remote compile
+            # (~12s serving stall on axon) — count + warn so a poisoned
+            # bench window is attributable (vs a tunnel hiccup)
+            self.stats["post_warmup_builds"] += 1
+            print(f"[engine] post-warmup prefill program build: "
+                  f"(bucket,group,fresh,ring)={key}", file=sys.stderr)
         bucket, Gp, fresh, ring = key
         cfg, fwd = self.cfg, self.forward
         impl = self.sp_impl if ring else self.attn_impl
@@ -1243,6 +1271,10 @@ class Engine:
                      self.seen) = out[0], out[1], out[2], out[3]
                     self._trim_warm.add((p_cur, s_cur))
             jax.block_until_ready(self.seen)
+        # arm the lazy-compile detector: any program BUILT from here on is
+        # a shape warmup missed (a ~12s remote-compile serving stall on
+        # axon) — counted in stats["post_warmup_builds"] + warned
+        self._warmed = True
 
     def start(self):
         if self._thread is None or not self._thread.is_alive():
@@ -1303,6 +1335,8 @@ class Engine:
                             and self._can_speculate(self._pending) \
                             and not self._churn_imminent(self._pending):
                         nxt = self._dispatch_decode(carry=self._pending)
+                        if nxt is not None:
+                            self.stats["pipelined_chunks"] += 1
                     self._drain_inject()
                     freed_before = sum(1 for s in self.slots
                                        if not s.active and s.req is None)
@@ -2009,13 +2043,25 @@ class Engine:
         return False
 
     def _churn_imminent(self, h: dict) -> bool:
-        """Will a slot complete during the outstanding chunk? If so, skip
-        the speculative dispatch: a speculated chunk is traced before the
-        completion is processed, so the freed slot (and its closed-loop
-        refill) would ride it inactive — one whole idle chunk per refill,
-        which at steady-state churn costs far more row-steps than the
-        dispatch round trip that speculation hides."""
+        """Will too many slots complete during the outstanding chunk? If
+        so, skip the speculative dispatch: a speculated chunk is traced
+        before the completions are processed, so each freed slot (and its
+        closed-loop refill) rides it inactive — one whole idle chunk per
+        refill.
+
+        The break-even is a COUNT, not any-row: skipping exposes the
+        dispatch round trip to the WHOLE batch (max_slots * rtt row-time)
+        while speculating idles only the completing rows (n * chunk_wall
+        row-time each), so speculation wins while
+        n <= max_slots * rtt / chunk_wall. The r3 any-row rule turned
+        pipelining off for nearly every sustained-mode chunk (staggered
+        max_tokens complete a few rows per chunk) — each paying an
+        exposed ~35ms tunnel round trip to avoid idling one or two rows.
+        ``churn_rtt_s`` is the assumed dispatch round trip; the chunk wall
+        EMA is measured. Rows near the sequence-length cap count as
+        completing (they are deactivated at the next dispatch)."""
         adv = self._max_adv
+        n = 0
         for s in self.slots:
             if not s.active or not h["active"][s.idx] \
                     or h["epochs"][s.idx] != s.epoch:
@@ -2023,8 +2069,12 @@ class Engine:
             if s.stop.max_tokens - s.stop.n_tokens <= adv \
                     or int(self.seq_lens[s.idx]) + 2 * adv \
                     >= self.max_seq_len:
-                return True
-        return False
+                n += 1
+        if n == 0:
+            return False
+        if self._chunk_ema <= 0.0:   # no chunk timed yet: static estimate
+            return n > max(1, self.max_slots // 16)
+        return n > self.max_slots * self.churn_rtt_s / self._chunk_ema
 
     def _inject_args(self, inject: tuple = ()) -> tuple:
         """Admission-injection inputs for the decode program: up to
