@@ -2292,6 +2292,7 @@ class Engine:
             lens_np = np.asarray(h["lens"])
             cnts_np = np.asarray(h["cnts"]) if spec else None
         n_new = 0
+        t_merge = time.monotonic()
         for s in self.slots:
             if not s.active or not h["active"][s.idx] \
                     or h["epochs"][s.idx] != s.epoch:
@@ -2349,6 +2350,10 @@ class Engine:
             self._lane = keep
         self.stats["lane_tokens"] += h.get("lane_tokens_n", 0)
         now = time.monotonic()
+        # host-side merge cost (token fold + completion handling after the
+        # sync): the last unquantified constant in the sustained-mode
+        # per-chunk anatomy
+        self.spans.add("decode_merge", now - t_merge)
         self.stats["decode_tokens"] += n_new
         self.stats["decode_steps"] += 1
         # pipelined accounting: busy time is the union of [dispatch, sync]

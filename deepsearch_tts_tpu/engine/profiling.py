@@ -33,6 +33,12 @@ class SpanTimer:
                 self.totals[name] += dt
                 self.counts[name] += 1
 
+    def add(self, name: str, dt: float) -> None:
+        """Record an externally-timed span (no context-manager overhead)."""
+        with self._lock:
+            self.totals[name] += dt
+            self.counts[name] += 1
+
     def reset(self) -> None:
         with self._lock:
             self.totals.clear()
