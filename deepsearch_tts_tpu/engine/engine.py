@@ -2121,6 +2121,7 @@ class Engine:
         arrays. Returns None instead of dispatching when speculation can't
         proceed (page headroom would need a preemption decision that must
         wait for the carry's results)."""
+        t_prep = time.monotonic()
         chunk = self.decode_chunk_len
         adv = self._max_adv   # worst-case device advance per chunk (> chunk
         #                       under speculation: each step emits up to K+1)
@@ -2232,6 +2233,10 @@ class Engine:
         act_first = None
         cnts = None
         inj = self._inject_args(tuple(self._inject_handles))
+        # host-side per-chunk prep (page headroom, bucket choice, arg
+        # uploads): the other half of the inter-chunk host constant —
+        # decode_merge covers the post-sync half
+        self.spans.add("decode_prep", time.monotonic() - t_prep)
         # idle-lane chunks dispatch the plain program — the lane variant's
         # extra rows cost ~9%/step even with nothing to prefill (r4 A/B)
         lane_on = bool(lane_plan and lane_plan["steps"])
