@@ -2150,7 +2150,12 @@ class Engine:
                 extra = need_pages - have
                 if not self._ensure_pages(extra):
                     if carry is not None:
-                        return None  # decide preemption after syncing carry
+                        # decide preemption after syncing carry; the host
+                        # prep done so far still counts toward the
+                        # inter-chunk constant
+                        self.spans.add("decode_prep",
+                                       time.monotonic() - t_prep)
+                        return None
                     if sum(1 for x in self.slots if x.active) > 1:
                         # requeue behind the survivors; their freed pages
                         # will admit it again with all progress kept
@@ -2168,6 +2173,7 @@ class Engine:
 
         lane_plan = self._plan_lane(chunk) if self.prefill_lane else None
         if not active.any() and (lane_plan is None or not lane_plan["steps"]):
+            self.spans.add("decode_prep", time.monotonic() - t_prep)
             return None
         # context-bucketed page table: the XLA attention path gathers all P
         # passed pages per layer, so slice to a pow2 bucket covering the

@@ -17,7 +17,6 @@ Usage: JAX_PLATFORMS=cpu python scripts/probe_merge.py
 import os
 import queue as _q
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -62,28 +61,33 @@ def main():
 
     for i in range(B):
         submit(i)
+    def snap_spans():
+        # the engine thread mutates totals concurrently — copy under the
+        # SpanTimer lock so iteration can't race a new key insertion
+        with eng.spans._lock:
+            return {k: (eng.spans.totals[k], eng.spans.counts[k])
+                    for k in eng.spans.totals}
+
     done = 0
     warm_spans = None
     while done < TOTAL:
         doneq.get(timeout=600)
         done += 1
         if done == B:          # end of ramp: snapshot spans
-            warm_spans = {k: (v, eng.spans.counts[k])
-                          for k, v in eng.spans.totals.items()}
+            warm_spans = snap_spans()
         if submitted < TOTAL:
             submit(submitted)
-    spans = {k: (eng.spans.totals[k] - (warm_spans.get(k, (0, 0))[0]
-                                        if warm_spans else 0),
-                 eng.spans.counts[k] - (warm_spans.get(k, (0, 0))[1]
-                                        if warm_spans else 0))
-             for k in eng.spans.totals}
+    eng.shutdown()
+    final = snap_spans()
+    spans = {k: (tot - (warm_spans.get(k, (0, 0))[0] if warm_spans else 0),
+                 cnt - (warm_spans.get(k, (0, 0))[1] if warm_spans else 0))
+             for k, (tot, cnt) in final.items()}
     print(f"B={B} chunk={CHUNK} window completions={TOTAL - B}")
     for k in sorted(spans):
         tot, cnt = spans[k]
         if cnt:
             print(f"  {k:18s} total {tot*1e3:9.1f}ms  n={cnt:5d}  "
                   f"per-call {tot/cnt*1e3:7.2f}ms")
-    eng.shutdown()
 
 
 if __name__ == "__main__":
