@@ -46,6 +46,10 @@ def count_param_bytes(params) -> int:
 
 
 def main():
+    from deepsearch_tts_tpu.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from deepsearch_tts_tpu.engine.engine import Engine, GenerationRequest
     from deepsearch_tts_tpu.engine.tokenizer import ByteTokenizer
     from deepsearch_tts_tpu.models import qwen3, registry

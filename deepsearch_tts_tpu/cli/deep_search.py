@@ -189,6 +189,10 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     os.makedirs(args.output_dir, exist_ok=True)
 
+    from ..compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from ..agents.policy import PolicyAgent
     from ..agents.runner import BatchRunner
     from ..agents.tracing import RunStatistics

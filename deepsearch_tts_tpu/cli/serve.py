@@ -16,6 +16,9 @@ import asyncio
 
 
 def main(argv=None):
+    from ..compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="qwen3-8b")
     p.add_argument("--weights", default="")

@@ -88,14 +88,41 @@ def convert_qwen3_dense(raw: dict[str, np.ndarray], cfg) -> dict:
     return params
 
 
+def device_random_params(model_name_or_cfg, seed: int = 0) -> dict:
+    """Random init computed ON DEVICE by the family's own ``init_params``
+    under a single jit — zero host→device weight transfer.
+
+    The host path (:func:`fast_random_params`) ships the full parameter set
+    through the axon tunnel (~60-120s for a 1.5B model); this path compiles
+    one init program (a normal remote-compile RTT, served from the
+    persistent compilation cache on later bring-ups) and materializes the
+    weights at HBM speed. Preferred for TPU bench/probe bring-up."""
+    from ..models.registry import get_model
+
+    if isinstance(model_name_or_cfg, str):
+        fam = get_model(model_name_or_cfg)
+        cfg, init = fam.config, fam.init_params
+    else:
+        cfg = model_name_or_cfg
+        from ..models import deepseek_v3, qwen3, qwen3_moe
+
+        init = (deepseek_v3.init_params if hasattr(cfg, "kv_lora_rank")
+                else qwen3_moe.init_params if hasattr(cfg, "n_experts")
+                else qwen3.init_params)
+    return jax.jit(lambda key: init(cfg, key))(jax.random.PRNGKey(seed))
+
+
 def fast_random_params(model_name_or_cfg, seed: int = 0) -> dict:
-    """Host-side (numpy) random init with one bulk device transfer.
+    """Host-side (numpy) random init, transferred to device as bf16.
 
     jax-random per-parameter init dispatches hundreds of tiny device
     programs — pathological over the axon remote-compile tunnel (each tiny
-    op pays a round trip). For benchmarks/tests with random weights, build
-    everything in numpy and transfer once.
-    """
+    op pays a round trip). This path builds everything in numpy, converts to
+    bfloat16 ON HOST (a device-side convert would itself be a compiled
+    program per distinct shape, and would double the bytes through the
+    tunnel), and transfers raw buffers only. Deterministic per seed."""
+    import ml_dtypes
+
     from ..models.registry import get_model
 
     if isinstance(model_name_or_cfg, str):
@@ -104,11 +131,15 @@ def fast_random_params(model_name_or_cfg, seed: int = 0) -> dict:
         cfg = model_name_or_cfg
     rng = np.random.default_rng(seed)
     E, H, K, D, L = cfg.hidden, cfg.n_heads, cfg.n_kv_heads, cfg.head_dim, cfg.n_layers
+    np_bf16 = np.dtype(ml_dtypes.bfloat16)
 
     def mk(*shape, fan_in=None):
         fan = fan_in if fan_in is not None else shape[-2] if len(shape) > 1 else shape[-1]
-        a = rng.standard_normal(shape, dtype=np.float32) * (fan ** -0.5)
-        return jnp.asarray(a, jnp.bfloat16)
+        a = rng.standard_normal(shape, dtype=np.float32) * np.float32(fan ** -0.5)
+        return jnp.asarray(a.astype(np_bf16))
+
+    def ones(*shape):
+        return jnp.asarray(np.ones(shape, np_bf16))
 
     if hasattr(cfg, "kv_lora_rank"):  # DeepSeek-V3/Kimi MLA family
         QL, KL = cfg.q_lora_rank, cfg.kv_lora_rank
@@ -121,13 +152,13 @@ def fast_random_params(model_name_or_cfg, seed: int = 0) -> dict:
 
         def attn(nl):
             return {
-                "ln1": jnp.ones((nl, E), jnp.bfloat16),
-                "ln2": jnp.ones((nl, E), jnp.bfloat16),
+                "ln1": ones(nl, E),
+                "ln2": ones(nl, E),
                 "w_qa": mk(nl, E, QL),
-                "q_a_norm": jnp.ones((nl, QL), jnp.bfloat16),
+                "q_a_norm": ones(nl, QL),
                 "w_qb": mk(nl, QL, H * (QN + QR)),
                 "w_kva": mk(nl, E, KL + QR),
-                "kv_a_norm": jnp.ones((nl, KL), jnp.bfloat16),
+                "kv_a_norm": ones(nl, KL),
                 "w_kb": mk(nl, KL, H * QN),
                 "w_vb": mk(nl, KL, H * VD),
                 "wo": mk(nl, H * VD, E),
@@ -141,7 +172,7 @@ def fast_random_params(model_name_or_cfg, seed: int = 0) -> dict:
         moe_layers = attn(LM)
         moe_layers.update({
             "router": mk(LM, E, NE),
-            "router_bias": jnp.zeros((LM, NE), jnp.float32),
+            "router_bias": jnp.asarray(np.zeros((LM, NE), np.float32)),
             "w_gate": mk(LM, NE, E, F, fan_in=E),
             "w_up": mk(LM, NE, E, F, fan_in=E),
             "w_down": mk(LM, NE, F, E, fan_in=F),
@@ -150,7 +181,7 @@ def fast_random_params(model_name_or_cfg, seed: int = 0) -> dict:
         })
         params = {
             "embed": mk(cfg.vocab_size, E, fan_in=E),
-            "final_norm": jnp.ones((E,), jnp.bfloat16),
+            "final_norm": ones(E,),
             "dense_layers": dense_layers,
             "moe_layers": moe_layers,
         }
@@ -159,10 +190,10 @@ def fast_random_params(model_name_or_cfg, seed: int = 0) -> dict:
         return params
 
     layers = {
-        "ln1": jnp.ones((L, E), jnp.bfloat16),
-        "ln2": jnp.ones((L, E), jnp.bfloat16),
-        "q_norm": jnp.ones((L, D), jnp.bfloat16),
-        "k_norm": jnp.ones((L, D), jnp.bfloat16),
+        "ln1": ones(L, E),
+        "ln2": ones(L, E),
+        "q_norm": ones(L, D),
+        "k_norm": ones(L, D),
         "wq": mk(L, E, H * D), "wk": mk(L, E, K * D), "wv": mk(L, E, K * D),
         "wo": mk(L, H * D, E),
     }
@@ -181,7 +212,7 @@ def fast_random_params(model_name_or_cfg, seed: int = 0) -> dict:
         })
     params = {
         "embed": mk(cfg.vocab_size, E, fan_in=E),
-        "final_norm": jnp.ones((E,), jnp.bfloat16),
+        "final_norm": ones(E,),
         "layers": layers,
     }
     if not cfg.tie_embeddings:

@@ -412,3 +412,61 @@ def test_golden_logits_hf_checkpoint_conversion(name):
     assert err.mean() < 0.01, err.mean()       # measured <= 0.0025
     agree = (ours.argmax(-1) == expected.argmax(-1)).mean()
     assert agree >= 0.9, agree                 # measured 1.0
+
+
+@pytest.mark.parametrize("name", ["qwen3-test", "qwen3-moe-test",
+                                  "deepseek-v3-test"])
+def test_fast_random_params_matches_init_tree(name):
+    """Host-numpy init must produce the exact tree the model's own
+    init_params does (shapes + dtypes), since every bench/probe bring-up
+    uses it in place of the real init."""
+    from deepsearch_tts_tpu.engine.weights import fast_random_params
+    from deepsearch_tts_tpu.models.registry import get_model
+
+    fam = get_model(name)
+    want = jax.eval_shape(lambda k: fam.init_params(fam.config, k),
+                          jax.ShapeDtypeStruct((2,), jnp.uint32))
+    got = fast_random_params(name, seed=1)
+    w = jax.tree_util.tree_map(lambda l: (l.shape, str(l.dtype)), want)
+    g = jax.tree_util.tree_map(lambda l: (l.shape, str(l.dtype)), got)
+    assert w == g
+
+
+def test_fast_random_params_deterministic():
+    from deepsearch_tts_tpu.engine.weights import fast_random_params
+
+    a = fast_random_params("qwen3-test", seed=3)
+    b = fast_random_params("qwen3-test", seed=3)
+    assert jax.tree_util.tree_all(
+        jax.tree_util.tree_map(lambda x, y: bool((x == y).all()), a, b))
+
+
+def test_device_random_params_forward_runs():
+    """On-device init (zero host->device weight transfer) yields a tree the
+    forward pass accepts."""
+    from deepsearch_tts_tpu.engine.weights import device_random_params
+    from deepsearch_tts_tpu.models.qwen3 import QWEN3_CONFIGS, forward
+
+    cfg = QWEN3_CONFIGS["qwen3-test"]
+    params = device_random_params("qwen3-test", seed=0)
+    ids = jnp.zeros((1, 4), jnp.int32)
+    pos = jnp.arange(4, dtype=jnp.int32)[None]
+    logits, _ = forward(params, cfg, ids, pos)
+    assert logits.shape == (1, 4, cfg.vocab_size)
+    assert bool(jnp.isfinite(logits.astype(jnp.float32)).all())
+
+
+def test_compile_cache_toggle(monkeypatch, tmp_path):
+    import deepsearch_tts_tpu.compile_cache as cc
+
+    monkeypatch.setattr(cc, "_enabled", None)
+    monkeypatch.setenv("DST_COMPILE_CACHE", "0")
+    assert cc.enable_persistent_cache() is None
+    monkeypatch.setenv("DST_COMPILE_CACHE", str(tmp_path / "jc"))
+    got = cc.enable_persistent_cache()
+    assert got == str(tmp_path / "jc")
+    import os as _os
+    assert _os.path.isdir(got)
+    # idempotent: second call returns the same dir without re-reading env
+    monkeypatch.setenv("DST_COMPILE_CACHE", "elsewhere")
+    assert cc.enable_persistent_cache() == got
