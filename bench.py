@@ -174,10 +174,19 @@ def main():
                dict(temperature=0.7, top_k=20, top_p=0.8, min_p=0.05,
                     repetition_penalty=1.05))
 
-    from deepsearch_tts_tpu.engine.weights import fast_random_params
+    from deepsearch_tts_tpu.engine.weights import (device_random_params,
+                                                   fast_random_params)
 
     t_init = time.monotonic()
-    params = fast_random_params(cfg, seed=0)   # host init: one bulk transfer
+    # on TPU, on-device init (one jit, zero host->device weight bytes) beats
+    # the host numpy path by minutes at 1.5B scale: the tunnel transfer alone
+    # measured 178-329s (scripts/probe_init_cache.py), vs one remote-compile
+    # RTT that the persistent cache absorbs on later bring-ups.
+    # BENCH_INIT=host restores the numpy path.
+    if on_tpu and os.environ.get("BENCH_INIT", "device") == "device":
+        params = device_random_params(cfg, seed=0)
+    else:
+        params = fast_random_params(cfg, seed=0)   # host init: bulk transfer
     engine = Engine(
         "bench-qwen3", ByteTokenizer(), params=params,
         max_slots=B, page_size=PS, n_pages=B * (SEQLEN // PS) + 1,
@@ -320,10 +329,16 @@ def main():
         convs: dict = {}   # future -> conversation token list
 
         def snap():
-            return {k: eng.stats[k] for k in
-                    ("decode_tokens", "decode_time_s", "slot_steps",
-                     "prefill_tokens", "lane_tokens", "slot_park_hits",
-                     "slot_park_tokens")}
+            s = {k: eng.stats[k] for k in
+                 ("decode_tokens", "decode_time_s", "slot_steps",
+                  "prefill_tokens", "lane_tokens", "slot_park_hits",
+                  "slot_park_tokens", "decode_steps")}
+            # span totals let a collapsed window be attributed (dispatch
+            # stall vs sync stall vs host merge vs prefill)
+            s["spans"] = {k: v["total_s"]
+                          for k, v in eng.spans.summary().items()}
+            s["max_chunk_s"] = eng.stats.get("max_chunk_s", 0.0)
+            return s
 
         def submit(ids, n_toks):
             nonlocal submitted
@@ -368,13 +383,20 @@ def main():
         wall = time.monotonic() - t0
         st = eng.telemetry()
         w_wall = max(win["t1"] - win["t0"], 1e-9)
-        d = {k: win["s1"][k] - win["s0"][k] for k in win["s0"]}
+        d = {k: win["s1"][k] - win["s0"][k] for k in win["s0"]
+             if not isinstance(win["s0"][k], dict)}
+        wspans = {k: round(win["s1"]["spans"].get(k, 0.0)
+                           - win["s0"]["spans"].get(k, 0.0), 3)
+                  for k in win["s1"]["spans"]}
         return {
             "decode_tps": d["decode_tokens"] / max(d["decode_time_s"], 1e-9),
             "e2e_tok_s": win_tokens / w_wall,
             "occupancy": d["decode_tokens"] / max(d["slot_steps"], 1),
             "decode_busy_frac": d["decode_time_s"] / w_wall,
             "window_s": w_wall, "window_tokens": win_tokens,
+            "window_spans": wspans,
+            "window_chunks": d["decode_steps"],
+            "max_chunk_s": round(win["s1"]["max_chunk_s"], 3),
             "window_prefill_tokens": d["prefill_tokens"],
             "park_hits": d["slot_park_hits"],
             "park_tokens_reused": d["slot_park_tokens"],

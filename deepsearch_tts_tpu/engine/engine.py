@@ -516,6 +516,18 @@ class Engine:
         self.churn_rtt_s = 0.035       # assumed dispatch round trip that
         #   pipelining hides (axon tunnel ~35ms); 0 restores the r3
         #   any-completing-row pipelining skip
+        # measured inter-chunk exposed gap on the non-pipelined path (sync →
+        # next dispatch returned, minus prefill-dispatch work that keeps the
+        # device busy in between). Replaces the churn_rtt_s ASSUMPTION in the
+        # churn break-even once a few skip-path chunks have been observed —
+        # the r4 spans showed the real exposed cost (readback + merge + admit
+        # + prep + dispatch) is workload-dependent and can be 2-3x the 35ms
+        # guess, which made the threshold skip pipelining too eagerly.
+        self._gap_ema = 0.0
+        self._gap_armed = False
+        self._gap_spec = False
+        self._gap_t0 = 0.0
+        self._gap_pf0 = 0.0
         # refill-grace policy: "fixed" (the r3 2ms wait — the measured
         # default), "adaptive" (chunk-EMA-sized wait that stops once every
         # freed slot has a request), "off". A/B on the agent workload
@@ -1340,6 +1352,7 @@ class Engine:
                     self._drain_inject()
                     freed_before = sum(1 for s in self.slots
                                        if not s.active and s.req is None)
+                    self._gap_spec = nxt is not None
                     self._process_decode(self._pending)
                     self._pending = nxt
                     self._apply_aborts()
@@ -1897,6 +1910,10 @@ class Engine:
             )
         self.stats["prefill_dispatches"] += 1
         self.stats["prefill_rows"] += G
+        try:
+            first.copy_to_host_async()   # stream back behind the program
+        except Exception:
+            pass
         return {"grp": grp, "first": first, "t0": t0,
                 "epochs": [p["slot"].epoch for p in grp]}
 
@@ -2074,7 +2091,14 @@ class Engine:
             return False
         if self._chunk_ema <= 0.0:   # no chunk timed yet: static estimate
             return n > max(1, self.max_slots // 16)
-        return n > self.max_slots * self.churn_rtt_s / self._chunk_ema
+        # prefer the MEASURED exposed gap (what skipping actually costs the
+        # whole batch on this workload) over the static churn_rtt_s guess;
+        # churn_rtt_s == 0 stays an explicit "skip on any completing row"
+        # override (probe_churn A/B contract)
+        rtt = self._gap_ema if (self._gap_ema > 0.0
+                                and self.churn_rtt_s > 0.0) \
+            else self.churn_rtt_s
+        return n > self.max_slots * rtt / self._chunk_ema
 
     def _inject_args(self, inject: tuple = ()) -> tuple:
         """Admission-injection inputs for the decode program: up to
@@ -2282,6 +2306,29 @@ class Engine:
                         min_toks, plens, *inj,
                     )
         self.stats["slot_steps"] += int(active.sum()) * chunk
+        # start the host copies NOW: the transfers queue behind the chunk's
+        # execution and stream back while the host does other work, so the
+        # sync in _process_decode finds the bytes already (or nearly) home.
+        # Matters most on the non-pipelined (churn) path, where the readback
+        # RTT is otherwise fully exposed device-idle time.
+        for arr in (toks, last, lens, cnts, act_first):
+            if arr is not None:
+                try:
+                    arr.copy_to_host_async()
+                except Exception:
+                    break   # backend without async copies: sync path intact
+        if self._gap_armed:
+            self._gap_armed = False
+            if carry is None:
+                gap = (time.monotonic() - self._gap_t0) - (
+                    self.spans.totals.get("prefill_dispatch", 0.0)
+                    - self._gap_pf0)
+                # >0.5s means the engine sat idle waiting for clients, not
+                # scheduler overhead — don't poison the EMA with think time
+                if 0.0 < gap < 0.5:
+                    self._gap_ema = gap if self._gap_ema == 0.0 \
+                        else 0.8 * self._gap_ema + 0.2 * gap
+                    self.spans.add("exposed_gap", gap)
         return {
             "active": active,
             "chunk": chunk,
@@ -2371,9 +2418,22 @@ class Engine:
         # windows, so back-to-back chunks don't double-count overlap
         busy = now - max(h["t_dispatch"], self._last_decode_end)
         self.stats["decode_time_s"] += busy
+        if busy > self.stats.get("max_chunk_s", 0.0):
+            self.stats["max_chunk_s"] = busy   # worst single-chunk stall
         self._last_decode_end = now
         self._chunk_ema = busy if self._chunk_ema == 0.0 \
             else 0.8 * self._chunk_ema + 0.2 * busy
+        # arm the exposed-gap measurement: if the NEXT dispatch is
+        # non-pipelined (this chunk had no speculative successor — the loop
+        # sets _gap_spec before calling us), the time from here to that
+        # dispatch returning is device-idle overhead. Only arm while slots
+        # remain active: a drained batch waits on CLIENTS, and folding that
+        # think time into the EMA would inflate the churn threshold into
+        # speculating through heavy churn (refills then idle whole chunks)
+        if not self._gap_spec and any(s.active for s in self.slots):
+            self._gap_armed = True
+            self._gap_t0 = now
+            self._gap_pf0 = self.spans.totals.get("prefill_dispatch", 0.0)
 
     def _process_chunk(self, s: _Slot, arr: np.ndarray) -> int:
         """Fold one chunk of sampled tokens into slot state; returns tokens
@@ -2466,4 +2526,6 @@ class Engine:
             # row-steps = forward passes, same meaning as non-spec engines)
             out["spec_tokens_per_step"] = (out["decode_tokens"]
                                            / out["slot_steps"])
+        if self._gap_ema > 0.0:
+            out["exposed_gap_ema_ms"] = round(self._gap_ema * 1000, 2)
         return out

@@ -34,7 +34,8 @@ def main():
 
     from deepsearch_tts_tpu.engine.engine import Engine, GenerationRequest
     from deepsearch_tts_tpu.engine.tokenizer import ByteTokenizer
-    from deepsearch_tts_tpu.engine.weights import fast_random_params
+    from deepsearch_tts_tpu.engine.weights import (device_random_params,
+                                                   fast_random_params)
     from deepsearch_tts_tpu.models import qwen3, registry
     from deepsearch_tts_tpu.models.qwen3 import Qwen3Config
 
@@ -45,8 +46,10 @@ def main():
                       lambda cfg=cfg: qwen3.logical_axes(cfg))
 
     B, PROMPT, DECODE, SEQLEN, CHUNK, PS = 64, 128, 128, 512, 32, 64
+    init_mode = os.environ.get("BENCH_INIT", "device")
     t1 = time.monotonic()
-    params = fast_random_params(cfg, seed=0)
+    params = (device_random_params(cfg, seed=0) if init_mode == "device"
+              else fast_random_params(cfg, seed=0))
     host_init_s = time.monotonic() - t1
     t1 = time.monotonic()
     eng = Engine("bench-qwen3", ByteTokenizer(), params=params,
@@ -68,7 +71,7 @@ def main():
     n_files = sum(len(fs) for _, _, fs in os.walk(cache_dir)) \
         if cache_dir else 0
     print(json.dumps({
-        "phase": phase, "cache_dir": cache_dir,
+        "phase": phase, "cache_dir": cache_dir, "init_mode": init_mode,
         "claim_s": round(claim_s, 1), "host_init_s": round(host_init_s, 1),
         "construct_s": round(construct_s, 1),
         "warmup_s": round(warmup_s, 1), "first_req_s": round(first_req_s, 1),
