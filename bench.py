@@ -168,6 +168,10 @@ def main():
     # honest default stays non-speculative; greedy random-init decode cycles
     # and shows the acceptance ceiling (pair with BENCH_GREEDY=1).
     SPEC = int(os.environ.get("BENCH_SPEC", 0))
+    # half-chunk trim near known completions, now behind the r5 dynamic
+    # amortization gate (engine.trim_min_rows=None): measured-negative in
+    # r4 with the always-trim policy; re-A/B'd via BENCH_TRIM=1
+    TRIM = os.environ.get("BENCH_TRIM", "0") == "1"
     GREEDY = os.environ.get("BENCH_GREEDY", "0") == "1"
     SAMP_KW = (dict(temperature=0.0, top_k=20, top_p=1.0, min_p=0.0,
                     repetition_penalty=1.0) if GREEDY else
@@ -198,6 +202,7 @@ def main():
         layer_fusion=FUSED, max_prefill_group=int(PFG) if PFG else None,
         prefill_lane=LANE, lane_max_act=LANE_ACT,
         speculative=("ngram" if SPEC else None), spec_k=(SPEC or 3),
+        chunk_trim=TRIM,
     )
     init_s = time.monotonic() - t_init
 
@@ -355,7 +360,15 @@ def main():
         def astag(i):
             # shorter per-turn decode than the all-fresh round so a turn-2
             # re-entry (prompt+gen+64) still fits the per-seq KV budget
-            return DECODE // 2 + (i * 37) % (DECODE // 2)
+            n = DECODE // 2 + (i * 37) % (DECODE // 2)
+            if os.environ.get("BENCH_ALIGN", "0") == "1":
+                # completion-aligned turn budgets (VERDICT r4 #1b): round
+                # each turn to a chunk multiple so known-length completions
+                # land at chunk boundaries instead of idling the row for
+                # the rest of the chunk. A serving-client co-design knob —
+                # reported as a separate config, not the default workload.
+                n = max(CHUNK, (n // CHUNK) * CHUNK)
+            return n
 
         for i in range(nslots):
             submit(fresh(i), astag(i))
@@ -588,7 +601,7 @@ def main():
                 # width = PROMPT so whole prompts are one-shot eligible,
                 # activations sized to the chunk (one act per lane step)
                 prefill_lane=int(os.environ.get("BENCH_DEPLOY_LANE", 0)),
-                lane_max_act=LANE_ACT or CHUNK)
+                lane_max_act=LANE_ACT or CHUNK, chunk_trim=TRIM)
             # the deployment phase runs the agent round: multi-turn
             # re-entries grow to the full KV budget, so warm the whole
             # bucket ladder AND the park-miss re-entry prompt bucket (a
@@ -637,6 +650,11 @@ def main():
                 "agent_e2e_over_decode": round(
                     ag["e2e_tok_s"] / max(ag["decode_tps"], 1e-9), 4),
                 "agent_occupancy": round(ag["occupancy"], 4),
+                "agent_window_spans": ag.get("window_spans"),
+                "agent_window_chunks": ag.get("window_chunks"),
+                "agent_max_chunk_s": ag.get("max_chunk_s"),
+                "agent_rounds_e2e": [round(r["e2e_tok_s"], 1)
+                                     for r in ag_rounds],
                 "agent_park_hits": ag["park_hits"],
                 "agent_park_tokens_reused": ag["park_tokens_reused"],
                 "agent_window_prefill_tokens": ag["window_prefill_tokens"],

@@ -242,6 +242,9 @@ class Engine:
                 "exclusive with speculative decoding and the prefill lane)")
         self.chunk_trim = bool(chunk_trim) and decode_chunk_len >= 2
         self._trim_chunk = max(1, decode_chunk_len // 2)
+        # None = dynamic amortization gate from the measured exposed gap
+        # (see _dispatch_decode); an int forces a fixed row threshold
+        self.trim_min_rows: int | None = None
         self._trim_warm: set = set()   # (p_cur, s_cur) buckets with a warm
         #                                half-length program
         # worst-case device-side sequence advance per decode chunk: each of
@@ -2234,15 +2237,31 @@ class Engine:
         # predictable and keep the full chunk.
         if self.chunk_trim and (p_cur, s_cur) in self._trim_warm:
             half = self._trim_chunk
+            n_near = 0
             for s in self.slots:
                 if not active[s.idx]:
                     continue
                 done = s.stop.n_tokens + (
                     carry_adv if (carry is not None and valid[s.idx]) else 0)
                 if 0 < s.stop.max_tokens - done <= half:
-                    chunk = half
-                    self.stats["trim_chunks"] += 1
-                    break
+                    n_near += 1
+            # amortization gate (r5): trimming splits one chunk in two, so
+            # it pays one extra exposed gap; only trim when enough rows'
+            # waste is saved — n rows each save ~half steps of row-time,
+            # the batch pays one gap: n * half * step_wall >= gap * slots.
+            # trim_min_rows overrides (1 = the r4 always-trim, for A/B).
+            if self.trim_min_rows is not None:
+                thr = self.trim_min_rows
+            elif self._chunk_ema > 0.0:
+                gap = self._gap_ema if self._gap_ema > 0.0 \
+                    else self.churn_rtt_s
+                step_wall = self._chunk_ema / self.decode_chunk_len
+                thr = gap * self.max_slots / max(half * step_wall, 1e-9)
+            else:
+                thr = self.max_slots // 8
+            if n_near >= thr:
+                chunk = half
+                self.stats["trim_chunks"] += 1
 
         host_last = jnp.asarray(self.last_tok)
         host_lens = jnp.asarray(self.seq_lens)
