@@ -289,7 +289,11 @@ def phase3_concurrency(n_problems: int = 192, n_slots: int = 96) -> dict:
                       lambda: qwen3.logical_axes(aux_cfg))
 
     tok = ByteTokenizer()
-    SEQ = 896
+    # PRODUCT_CONC_SEQ trades slots for per-trajectory KV: 96x896 (the
+    # north-star concurrency; late turns exceed the ~830-token prompt
+    # budget, roll the window, and defeat token-exact parking) vs 64x1344
+    # (same 9.4GiB pool; whole conversations fit, parking engages).
+    SEQ = int(os.environ.get("PRODUCT_CONC_SEQ", "896"))
     t_init = time.monotonic()
     policy_engine = Engine(
         "conc-policy", tok, params=device_random_params(policy_cfg, seed=0),
@@ -299,9 +303,17 @@ def phase3_concurrency(n_problems: int = 192, n_slots: int = 96) -> dict:
         "conc-aux", tok, params=device_random_params(aux_cfg, seed=1),
         max_slots=8, page_size=64, n_pages=8 * 32 + 1, max_seq_len=2048,
         decode_chunk_len=32, cache_mode="paged", seed=1)
-    # warm the prompt buckets the growing conversations will hit
-    policy_engine.warmup(prompt_lens=(128, 256, 512, 768),
-                         group_sizes=(1, 4, 16), max_ctx=SEQ)
+    # warm EVERY prefill bucket the growing conversations traverse (mean
+    # turn prompt measured ~830 tokens at SEQ=896): the first TPU run left
+    # buckets >768 to lazy compile and each cold shape was a ~12s
+    # mid-serving stall — decode_tps read 225 because chunk walls absorbed
+    # ~26 remote compiles. The persistent compile cache makes this ladder
+    # a one-time cost per config.
+    max_prompt = SEQ - 65
+    lens = sorted({policy_engine._bucket(n)
+                   for n in range(64, max_prompt + 1, 32)})
+    policy_engine.warmup(prompt_lens=lens, group_sizes=(1, 4, 16),
+                         max_ctx=SEQ)
     init_s = time.monotonic() - t_init
 
     store = ReplayStore()
@@ -348,6 +360,11 @@ def phase3_concurrency(n_problems: int = 192, n_slots: int = 96) -> dict:
         "park_hits": st.get("slot_park_hits", 0),
         "park_tokens_reused": st.get("slot_park_tokens", 0),
         "exposed_gap_ema_ms": st.get("exposed_gap_ema_ms"),
+        "decode_chunks": st.get("decode_steps", 0),
+        # lazy remote compiles that landed INSIDE the serving window —
+        # each is a ~12s stall folded into decode_time_s
+        "post_warmup_builds": st.get("post_warmup_builds", 0),
+        "max_seq_len": SEQ,
         "error_rows": sum(1 for r in results if r.get("error")),
         "device": _device(),
     }
@@ -483,11 +500,11 @@ if __name__ == "__main__":
             int(os.environ.get("PRODUCT_N", "8")))
         print("phase2 throughput:", json.dumps(out["throughput"]), flush=True)
     if phase in ("both", "concurrency"):
-        out["concurrency"] = phase3_concurrency(
+        key = os.environ.get("PRODUCT_CONC_KEY", "concurrency")
+        out[key] = phase3_concurrency(
             int(os.environ.get("PRODUCT_CONC_N", "192")),
             int(os.environ.get("PRODUCT_CONC_SLOTS", "96")))
-        print("phase3 concurrency:", json.dumps(out["concurrency"]),
-              flush=True)
+        print(f"phase3 {key}:", json.dumps(out[key]), flush=True)
     if phase in ("both", "verify"):
         out["verify"] = phase4_verify()
         print("phase4 verify:", json.dumps(out["verify"]), flush=True)
