@@ -59,18 +59,25 @@ def reset(eng):
     eng.stats.update(decode_tokens=0, decode_time_s=0.0, decode_steps=0,
                      prefill_tokens=0, prefill_time_s=0.0, requests=0,
                      lane_tokens=0, slot_steps=0, prefill_dispatches=0,
-                     prefill_rows=0, max_chunk_s=0.0, post_warmup_builds=0)
+                     prefill_rows=0, max_chunk_s=0.0, post_warmup_builds=0,
+                     injected_groups=0, pipelined_chunks=0, grace_wait_s=0.0)
 
 
 def fresh(i):
     return rng.integers(0, cfg.vocab_size, size=PROMPT).tolist()
 
 
-def astag(i):
-    return DECODE // 2 + (i * 37) % (DECODE // 2)
+def astag(i, align=False):
+    n = DECODE // 2 + (i * 37) % (DECODE // 2)
+    if align:
+        # completion-aligned turn budgets (VERDICT r4 #1b): round each
+        # turn to a chunk multiple so known-length completions land at
+        # chunk boundaries instead of idling the row mid-chunk
+        n = max(CHUNK, (n // CHUNK) * CHUNK)
+    return n
 
 
-def closed_round(eng, reenter, total=None, warm=None):
+def closed_round(eng, reenter, total=None, warm=None, align=False):
     total = total or 4 * B
     warm = warm if warm is not None else B
     reset(eng)
@@ -80,10 +87,14 @@ def closed_round(eng, reenter, total=None, warm=None):
     convs: dict = {}
 
     def snap():
-        s = {k: eng.stats[k] for k in
+        s = {k: eng.stats.get(k, 0) for k in
              ("decode_tokens", "decode_time_s", "slot_steps",
-              "prefill_tokens", "decode_steps")}
-        s["spans"] = {k: v["total_s"] for k, v in eng.spans.summary().items()}
+              "prefill_tokens", "decode_steps", "prefill_dispatches",
+              "prefill_rows", "injected_groups", "pipelined_chunks",
+              "grace_wait_s")}
+        sm = eng.spans.summary()
+        s["spans"] = {k: v["total_s"] for k, v in sm.items()}
+        s["span_counts"] = {k: v["count"] for k, v in sm.items()}
         return s
 
     def submit(ids, n_toks):
@@ -95,7 +106,7 @@ def closed_round(eng, reenter, total=None, warm=None):
         submitted += 1
 
     for i in range(B):
-        submit(fresh(i), astag(i))
+        submit(fresh(i), astag(i, align))
     results = []
     win: dict = {}
     win_tokens = 0
@@ -112,11 +123,11 @@ def closed_round(eng, reenter, total=None, warm=None):
             if reenter:
                 nxt = (prompt_ids + r.token_ids
                        + rng.integers(0, cfg.vocab_size, size=64).tolist())
-                n_toks = astag(submitted)
+                n_toks = astag(submitted, align)
                 if len(nxt) + n_toks + CHUNK + 2 > SEQLEN:
                     nxt = fresh(submitted)
             else:
-                nxt, n_toks = fresh(submitted), astag(submitted)
+                nxt, n_toks = fresh(submitted), astag(submitted, align)
             submit(nxt, n_toks)
             if submitted == total:
                 win["t1"], win["s1"] = time.monotonic(), snap()
@@ -127,6 +138,9 @@ def closed_round(eng, reenter, total=None, warm=None):
     wspans = {k: round(win["s1"]["spans"].get(k, 0.0)
                        - win["s0"]["spans"].get(k, 0.0), 3)
               for k in win["s1"]["spans"]}
+    wcounts = {k: win["s1"]["span_counts"].get(k, 0)
+               - win["s0"]["span_counts"].get(k, 0)
+               for k in win["s1"]["span_counts"]}
     return {
         "decode_tps": round(d["decode_tokens"]
                             / max(d["decode_time_s"], 1e-9), 1),
@@ -136,6 +150,12 @@ def closed_round(eng, reenter, total=None, warm=None):
         "window_chunks": d["decode_steps"],
         "window_prefill_tokens": d["prefill_tokens"],
         "window_spans": wspans,
+        "window_span_counts": wcounts,
+        "window_prefill_dispatches": d["prefill_dispatches"],
+        "window_prefill_rows": d["prefill_rows"],
+        "window_injected_groups": d["injected_groups"],
+        "window_pipelined_chunks": d["pipelined_chunks"],
+        "window_grace_wait_s": round(d["grace_wait_s"], 3),
         "max_chunk_s": round(eng.stats.get("max_chunk_s", 0.0), 3),
         "post_warmup_builds": eng.stats.get("post_warmup_builds", 0),
         "gap_ema_ms": round(getattr(eng, "_gap_ema", 0.0) * 1e3, 2),
@@ -177,9 +197,16 @@ def main():
 
     print(json.dumps({"round": "sustained", **closed_round(eng, False)}),
           flush=True)
-    for i in range(AGENT_ROUNDS):
-        print(json.dumps({"round": f"agent{i + 1}",
-                          **closed_round(eng, True)}), flush=True)
+    plan = os.environ.get("PROBE_PLAN",
+                          ",".join(["agent"] * AGENT_ROUNDS)).split(",")
+    for i, kind in enumerate(plan):
+        kind = kind.strip()
+        if kind == "trim":
+            eng.chunk_trim = True
+        elif eng.chunk_trim:
+            eng.chunk_trim = False
+        r = closed_round(eng, True, align=(kind == "align"))
+        print(json.dumps({"round": f"{kind}{i + 1}", **r}), flush=True)
     eng.shutdown()
 
 
