@@ -380,6 +380,14 @@ class Engine:
         # matching (no page granularity).
         self._slot_park = bool(enable_prefix_cache) and cache_mode == "slot"
         self._parked: dict[int, dict] = {}   # slot idx -> park record
+        # park-hit re-entries reuse the row's device-resident seen mask
+        # (repetition-penalty presence) instead of uploading a [Gp, V] bool
+        # mask per prefill dispatch; _clear_w is the fixed program width of
+        # the per-row "clear these ids" list (post-stop garbage tokens +
+        # unmatched parked tail, both small — rows needing more fall back
+        # to the upload path). Exact semantics either way.
+        self.seen_keep = True
+        self._clear_w = max(32, int(decode_chunk_len))
         if cache_mode == "slot":
             page_size = max_seq_len
             n_pages = max_slots
@@ -581,6 +589,7 @@ class Engine:
             # chunk per decode dispatch — the ceiling on decode_tokens) and
             # batched-prefill dispatch count/rows (group-size health)
             "slot_steps": 0, "prefill_dispatches": 0, "prefill_rows": 0,
+            "seen_keep_rows": 0,
             "injected_groups": 0,
             # slot-mode prefix parking (zero-copy multi-turn re-entry)
             "slot_park_hits": 0, "slot_park_tokens": 0,
@@ -1021,7 +1030,8 @@ class Engine:
         @partial(jax.jit, donate_argnums=(0, 1, 2, 10))
         def prefill(k_pages, v_pages, kv_aux, params, tokens, positions,
                     page_table, seq_lens, logits_idx, rows, seen, seen_rows,
-                    samp, min_toks, sample_key):
+                    keep_rows, derive_rows, clear_rows, samp, min_toks,
+                    sample_key):
             kv_kw = ({"k_scales": kv_aux["ks"], "v_scales": kv_aux["vs"]}
                      if kv_q else {})
             logits, cache = fwd(
@@ -1045,6 +1055,34 @@ class Engine:
                                        seen.shape[1])
                 seen_rows = jnp.zeros((Gp, seen.shape[1]), bool).at[
                     rid, tok_or_oob].set(True, mode="drop")
+            else:
+                # the non-fresh program (run universally by prefix-reusing
+                # engines) derives token-presence rows on device wherever
+                # it can, instead of shipping a host-built [Gp, V] bool
+                # mask (~0.5MB of tunnel traffic per dispatch — the r5
+                # agent-window profile showed ~10MB/window of these):
+                #  - derive_rows (cached_len == 0): the whole prompt is in
+                #    `tokens`, presence = suffix presence (fresh-path rule)
+                #  - keep_rows (slot-park re-entries): row = (parked mask
+                #    minus the known post-stop garbage ids in clear_rows)
+                #    | suffix presence. Exact — the host clears every seen
+                #    token not in the new prompt (_prepare_request), so
+                #    the result equals presence(full prompt) bit-for-bit.
+                #  - everything else (paged prefix hits, partial park
+                #    matches, clear-list overflow): uploaded seen_rows.
+                rid = jax.lax.broadcasted_iota(jnp.int32, tokens.shape, 0)
+                tok_or_oob = jnp.where(positions >= 0, tokens,
+                                       seen.shape[1])
+                suffix_pres = jnp.zeros((Gp, seen.shape[1]), bool).at[
+                    rid, tok_or_oob].set(True, mode="drop")
+                kept = seen[jnp.clip(rows, 0, seen.shape[0] - 1)]
+                rid_c = jax.lax.broadcasted_iota(jnp.int32,
+                                                 clear_rows.shape, 0)
+                kept = kept.at[rid_c, clear_rows].set(False, mode="drop")
+                seen_rows = jnp.where(derive_rows[:, None], suffix_pres,
+                                      seen_rows)
+                seen_rows = jnp.where(keep_rows[:, None],
+                                      kept | suffix_pres, seen_rows)
             sp = SamplingParams(
                 samp["temperature"], samp["top_k"], samp["top_p"],
                 samp["min_p"], samp["repetition_penalty"],
@@ -1187,6 +1225,9 @@ class Engine:
                         jnp.full((Gp,), B, jnp.int32),   # rows: dropped
                         self.seen,
                         jnp.zeros((Gp, self.cfg.vocab_size), bool),
+                        jnp.zeros((Gp,), bool), jnp.zeros((Gp,), bool),
+                        jnp.full((Gp, self._clear_w), self.cfg.vocab_size,
+                                 jnp.int32),
                         samp, jnp.zeros((Gp,), jnp.int32), sk,
                     )
         if decode:
@@ -1745,6 +1786,7 @@ class Engine:
 
         shared: list[int] = []
         cached_len = 0
+        keep_seen, clear_ids = False, None
         if self.cache_mode == "slot":
             own: list[int] = []     # slot mode: cache row == slot row
             if self._slot_park:
@@ -1756,6 +1798,34 @@ class Engine:
                         cached_len = blen
                         self.stats["slot_park_hits"] += 1
                         self.stats["slot_park_tokens"] += blen
+                        rec = self._parked.get(slot.idx)
+                        # a pipelined in-flight chunk that still steps this
+                        # row will scatter post-park tokens into its seen
+                        # mask AFTER the host recorded the stale list (the
+                        # device runs that chunk before this re-entry's
+                        # prefill) — the upload path overwrites the mask so
+                        # it is immune; keep-path must sit this one out
+                        in_flight = (self._pending is not None
+                                     and bool(self._pending["active"]
+                                              [slot.idx]))
+                        if self.seen_keep and rec is not None \
+                                and not in_flight:
+                            # reuse the row's device seen mask: clear every
+                            # parked-life token NOT in the new prompt (the
+                            # post-stop garbage ids recorded at park time,
+                            # plus any unmatched parked tail); the prefill
+                            # program ORs the suffix presence back in. The
+                            # result equals presence(prompt) exactly — see
+                            # _prefill_fn. Rows whose clear list outgrows
+                            # the fixed program width keep the upload path.
+                            cand = set(map(int, rec.get("stale", ())))
+                            cand.update(map(int, rec["tokens"][blen:]))
+                            pset = set(prompt)
+                            ids = np.fromiter(
+                                (t for t in cand if t not in pset),
+                                np.int32)
+                            if ids.size <= self._clear_w:
+                                keep_seen, clear_ids = True, ids
                 self._parked.pop(slot.idx, None)  # row is being reused
         else:
             if self.prefix_cache is not None and len(prompt) > self.page_size:
@@ -1823,7 +1893,8 @@ class Engine:
         self._mark_dirty()
         return {"slot": slot, "req": req, "suffix": prompt[cached_len:],
                 "cached_len": cached_len, "prompt": prompt,
-                "pre_gen": len(slot.generated)}
+                "pre_gen": len(slot.generated),
+                "keep_seen": keep_seen, "clear_ids": clear_ids}
 
     @staticmethod
     def _pow2(n: int, cap: int) -> int:
@@ -1878,18 +1949,37 @@ class Engine:
             seq_lens[g] = len(prompt)
             logits_idx[g] = max(T - 1, 0)
             rows[g] = slot.idx
-        if fresh:
-            # the fresh prefill program derives token-presence rows on
-            # device from `tokens`; ship a cached device-resident zero
-            # placeholder instead of a fresh [Gp, V] host upload
-            zkey = ("zrows", Gp)
-            seen_rows = self._dev_cache.get(zkey)
-            if seen_rows is None:
-                seen_rows = jnp.zeros((Gp, self.cfg.vocab_size), bool)
-                self._dev_cache[zkey] = seen_rows
+        keep = np.zeros((Gp,), bool)
+        derive = np.zeros((Gp,), bool)
+        clear = np.full((Gp, self._clear_w), self.cfg.vocab_size, np.int32)
+        if not fresh:
+            for g, p in enumerate(grp):
+                if p.get("keep_seen"):
+                    keep[g] = True
+                    self.stats["seen_keep_rows"] += 1
+                    ids = p.get("clear_ids")
+                    if ids is not None and ids.size:
+                        clear[g, : ids.size] = ids
+                elif p["cached_len"] == 0:
+                    derive[g] = True   # whole prompt is in `tokens`
+        zkey = ("zrows", Gp)
+        zero_rows = self._dev_cache.get(zkey)
+        if zero_rows is None:
+            zero_rows = jnp.zeros((Gp, self.cfg.vocab_size), bool)
+            self._dev_cache[zkey] = zero_rows
+        if fresh or (keep[:G] | derive[:G]).all():
+            # fresh/derive groups build token-presence rows on device from
+            # `tokens`; park-hit re-entry groups (the agent-mode steady
+            # state) from the rows' device-resident masks + clear/suffix —
+            # either way ship the cached zero placeholder instead of a
+            # [Gp, V] host build + upload (~0.5MB of tunnel traffic per
+            # dispatch)
+            seen_rows = zero_rows
         else:
             seen_np = np.zeros((Gp, self.cfg.vocab_size), bool)
             for g, p in enumerate(grp):
+                if keep[g] or derive[g]:
+                    continue  # mask derived on device
                 ids = np.asarray(p["prompt"], np.int64)
                 seen_np[g][ids[ids < self.cfg.vocab_size]] = True
             seen_rows = jnp.asarray(seen_np)
@@ -1908,11 +1998,18 @@ class Engine:
                 self.k_pages, self.v_pages, self.kv_aux, self.params,
                 jnp.asarray(tokens), jnp.asarray(positions), jnp.asarray(tables),
                 jnp.asarray(seq_lens), jnp.asarray(logits_idx),
-                jnp.asarray(rows), self.seen, jnp.asarray(seen_rows), samp,
-                jnp.asarray(pad(self.min_tokens[srows])), sk,
+                jnp.asarray(rows), self.seen, seen_rows,
+                jnp.asarray(keep), jnp.asarray(derive), jnp.asarray(clear),
+                samp, jnp.asarray(pad(self.min_tokens[srows])), sk,
             )
         self.stats["prefill_dispatches"] += 1
         self.stats["prefill_rows"] += G
+        # group-size health histogram: "{bucket}x{rows}" -> dispatch count.
+        # Agent-mode fragmentation (many small groups, each paying the
+        # dispatch RTT + [Gp,V] seen-rows upload) shows up here directly.
+        hist = self.stats.setdefault("prefill_group_hist", {})
+        key = f"{bucket}x{G}"
+        hist[key] = hist.get(key, 0) + 1
         try:
             first.copy_to_host_async()   # stream back behind the program
         except Exception:
@@ -2373,6 +2470,24 @@ class Engine:
         for s in self.slots:
             if not s.active or not h["active"][s.idx] \
                     or h["epochs"][s.idx] != s.epoch:
+                if h["active"][s.idx] and self._slot_park:
+                    # the program still stepped this row (active at
+                    # dispatch); if the row parked in the meantime, its
+                    # device seen mask absorbed this chunk's sampled
+                    # tokens too — fold them into the stale record so a
+                    # later keep-path re-entry stays exact
+                    rec = self._parked.get(s.idx)
+                    if rec is not None:
+                        if spec:
+                            c = cnts_np[s.idx]
+                            w = toks_np[s.idx]
+                            extra = w[np.arange(w.shape[1])[None, :]
+                                      < c[:, None]]
+                        else:
+                            extra = toks_np[s.idx]
+                        rec["stale"] = np.union1d(
+                            np.asarray(rec.get("stale", ()), np.int32),
+                            np.asarray(extra, np.int32))
                 continue  # finished/aborted/re-admitted since dispatch
             self.last_tok[s.idx] = last_np[s.idx]
             self.seq_lens[s.idx] = lens_np[s.idx]
@@ -2392,7 +2507,16 @@ class Engine:
                 # trim over-generated tokens: KV past the true end is masked
                 # by seq_lens so no cleanup is needed on device
                 self.seq_lens[s.idx] -= emitted - consumed
+                idx = s.idx
                 self._finish_slot(s)
+                rec = self._parked.get(idx) if self._slot_park else None
+                if rec is not None and consumed < len(arr):
+                    # post-stop sampled tokens were scattered into the
+                    # row's device seen mask by the chunk program; record
+                    # them so a keep-path re-entry can clear the ones not
+                    # in its new prompt (exact mask reuse, _prefill_fn)
+                    rec["stale"] = np.unique(
+                        np.asarray(arr[consumed:], np.int32))
             elif self.seq_lens[s.idx] + self._max_adv >= self.max_seq_len:
                 self._finish_slot(s, reason="length")
         if h.get("acts"):

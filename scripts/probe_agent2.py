@@ -95,6 +95,7 @@ def closed_round(eng, reenter, total=None, warm=None, align=False):
         sm = eng.spans.summary()
         s["spans"] = {k: v["total_s"] for k, v in sm.items()}
         s["span_counts"] = {k: v["count"] for k, v in sm.items()}
+        s["group_hist"] = dict(eng.stats.get("prefill_group_hist", {}))
         return s
 
     def submit(ids, n_toks):
@@ -141,6 +142,11 @@ def closed_round(eng, reenter, total=None, warm=None, align=False):
     wcounts = {k: win["s1"]["span_counts"].get(k, 0)
                - win["s0"]["span_counts"].get(k, 0)
                for k in win["s1"]["span_counts"]}
+    whist = {k: win["s1"]["group_hist"].get(k, 0)
+             - win["s0"]["group_hist"].get(k, 0)
+             for k in win["s1"]["group_hist"]
+             if win["s1"]["group_hist"].get(k, 0)
+             - win["s0"]["group_hist"].get(k, 0) > 0}
     return {
         "decode_tps": round(d["decode_tokens"]
                             / max(d["decode_time_s"], 1e-9), 1),
@@ -153,6 +159,7 @@ def closed_round(eng, reenter, total=None, warm=None, align=False):
         "window_span_counts": wcounts,
         "window_prefill_dispatches": d["prefill_dispatches"],
         "window_prefill_rows": d["prefill_rows"],
+        "window_group_hist": whist,
         "window_injected_groups": d["injected_groups"],
         "window_pipelined_chunks": d["pipelined_chunks"],
         "window_grace_wait_s": round(d["grace_wait_s"], 3),
@@ -205,7 +212,11 @@ def main():
             eng.chunk_trim = True
         elif eng.chunk_trim:
             eng.chunk_trim = False
+        # "nokeep": A/B the device-side seen-mask reuse (r5) against the
+        # per-dispatch [Gp, V] upload path within one process
+        eng.seen_keep = kind != "nokeep"
         r = closed_round(eng, True, align=(kind == "align"))
+        r["seen_keep_rows"] = eng.stats.get("seen_keep_rows", 0)
         print(json.dumps({"round": f"{kind}{i + 1}", **r}), flush=True)
     eng.shutdown()
 

@@ -146,3 +146,55 @@ def test_slot_parking_prefers_unparked_rows():
         assert eng.stats["slot_park_hits"] == 1
     finally:
         eng.shutdown()
+
+
+def test_seen_keep_reentry_matches_upload_path():
+    """Park-hit re-entries reuse the row's device-resident seen mask
+    (engine.seen_keep, r5): the prefill program rebuilds the presence mask
+    on device from the parked row + a small clear list instead of a
+    [Gp, V] host upload. With an ACTIVE repetition penalty the sampled
+    tokens must match the upload path (seen_keep=False) token-for-token —
+    including after a mid-chunk stop left post-stop garbage in the mask
+    and after a partial (diverging) park match falls back to the upload
+    path."""
+    import jax
+
+    from deepsearch_tts_tpu.engine.engine import Engine, GenerationRequest
+    from deepsearch_tts_tpu.engine.tokenizer import ByteTokenizer
+    from deepsearch_tts_tpu.models.qwen3 import QWEN3_CONFIGS, init_params
+
+    params = init_params(QWEN3_CONFIGS["qwen3-test"], jax.random.PRNGKey(0))
+
+    def req(ids, n=6):
+        return GenerationRequest(prompt_ids=ids, max_tokens=n,
+                                 temperature=0.0, repetition_penalty=1.3)
+
+    outs = []
+    for keep_on in (True, False):
+        eng = Engine("qwen3-test", ByteTokenizer(), params=params,
+                     max_slots=4, page_size=4, n_pages=128, max_seq_len=128,
+                     decode_chunk_len=4, seed=0, cache_mode="slot",
+                     enable_prefix_cache=True)
+        eng.seen_keep = keep_on
+        try:
+            p1 = list(range(30, 60))
+            r1 = eng.generate(req(p1))
+            # full-match re-entry (keep path when enabled)
+            p2 = p1 + r1.token_ids + [7, 8, 9, 11]
+            r2 = eng.generate(req(p2))
+            assert r2.cached_prompt_tokens > 0
+            # third turn: chains keep-path lives (mask invariant must hold
+            # across consecutive keep re-entries)
+            p3 = p2 + r2.token_ids + [13, 17]
+            r3 = eng.generate(req(p3))
+            # diverging prompt: partial park match (upload fallback)
+            p4 = p1[:10] + [99, 98, 97]
+            r4 = eng.generate(req(p4))
+            outs.append((r1.token_ids, r2.token_ids, r3.token_ids,
+                         r4.token_ids))
+            if keep_on:
+                assert eng.stats["seen_keep_rows"] >= 2
+        finally:
+            eng.shutdown()
+    assert outs[0] == outs[1], \
+        "seen_keep device-derived mask must be bit-exact vs the upload path"
